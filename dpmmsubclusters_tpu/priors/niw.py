@@ -1,0 +1,257 @@
+"""Normal-Inverse-Wishart conjugate prior for multivariate-Gaussian clusters.
+
+TPU-native re-design of ``src/priors/niw.jl`` + ``src/distributions/mv_gaussian.jl``.
+
+Parameterization matches the reference exactly (``src/priors/niw.jl:20-31``):
+``psi`` is the "divided-by-nu" scale, i.e. the inverse-Wishart scale matrix is
+``nu * psi``, and the posterior is
+
+    kappa' = kappa + N;  nu' = nu + N
+    m'     = (kappa*m + sum_x) / kappa'
+    psi'   = (nu*psi + kappa*m m^T - kappa'*m' m'^T + sum_xx) / nu'   (symmetrized)
+
+Log marginal likelihood follows ``src/priors/niw.jl:53-62``.  Unlike the
+reference's ``mv_gaussian`` log-pdf -- which uses ``length(Sigma)`` (= D^2) in
+the normalizing constant instead of D (``src/distributions/mv_gaussian.jl:24``,
+a bug that cancels in the label softmax) -- we use the correct constant.
+
+Parameter sampling replaces Julia's ``rand(InverseWishart)`` + dense inverse +
+Cholesky (``src/priors/niw.jl:34-40``) with a direct Bartlett draw of the
+*precision* matrix (see :func:`..ops.linalg.sample_wishart_precision`).
+
+All arrays are float32: the reference promotes sufficient statistics to
+Float64 (``src/priors/niw.jl:46``); on TPU we instead keep data centered
+(handled at the API layer) and accumulate the `sum_xx` GEMMs in float32 on the
+MXU, which the statistical tests validate.
+"""
+from __future__ import annotations
+
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from ..ops import linalg
+from ..ops.linalg import LOG_PI, LOG_2PI
+
+
+class GaussianFamily:
+    name = "gaussian"
+
+    # ---- shapes -----------------------------------------------------------
+    def feature_dim(self, d: int) -> int:
+        return d * d + d + 1
+
+    def stat_dim(self, d: int) -> int:
+        return 1 + d + d * d
+
+    # ---- per-point linear maps -------------------------------------------
+    def features(self, x: jax.Array) -> jax.Array:
+        """[N, D] -> [N, D^2 + D + 1]: rows [vec(x x^T), x, 1].
+
+        ``ll = feat @ phi`` with ``phi = [-0.5 vec(P), P mu, c]`` gives the
+        Gaussian log-density; one matmul covers all slots and sub-clusters.
+        """
+        n, d = x.shape
+        xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
+        ones = jnp.ones((n, 1), dtype=x.dtype)
+        return jnp.concatenate([xx, x, ones], axis=1)
+
+    def stat_features(self, x: jax.Array) -> jax.Array:
+        """[N, D] -> [N, 1 + D + D^2]: rows [1, x, vec(x x^T)]."""
+        n, d = x.shape
+        xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
+        ones = jnp.ones((n, 1), dtype=x.dtype)
+        return jnp.concatenate([ones, x, xx], axis=1)
+
+    # ---- sufficient statistics -------------------------------------------
+    def empty_stats(self, batch_shape: tuple, d: int):
+        return {
+            "n": jnp.zeros(batch_shape, jnp.float32),
+            "sum_x": jnp.zeros(batch_shape + (d,), jnp.float32),
+            "sum_xx": jnp.zeros(batch_shape + (d, d), jnp.float32),
+        }
+
+    def stats_from_flat(self, flat: jax.Array, d: int):
+        return {
+            "n": flat[..., 0],
+            "sum_x": flat[..., 1 : 1 + d],
+            "sum_xx": flat[..., 1 + d :].reshape(flat.shape[:-1] + (d, d)),
+        }
+
+    def stats_to_flat(self, stats) -> jax.Array:
+        d = stats["sum_x"].shape[-1]
+        return jnp.concatenate(
+            [
+                stats["n"][..., None],
+                stats["sum_x"],
+                stats["sum_xx"].reshape(stats["sum_xx"].shape[:-2] + (d * d,)),
+            ],
+            axis=-1,
+        )
+
+    def aggregate_stats(self, a, b):
+        # reference: src/priors/niw.jl:64-66 (elementwise add)
+        return jax.tree.map(jnp.add, a, b)
+
+    # ---- conjugate updates ------------------------------------------------
+    def calc_posterior(self, prior, stats):
+        """Batched NIW posterior update (reference src/priors/niw.jl:20-31).
+
+        Slots with N == 0 return the prior unchanged.
+        """
+        n = stats["n"]
+        has = n > 0
+        nsafe = jnp.where(has, n, 1.0)
+        kappa = prior["kappa"] + n
+        nu = prior["nu"] + n
+        m = (prior["kappa"][..., None] * prior["m"] + stats["sum_x"]) / kappa[
+            ..., None
+        ]
+        mm0 = prior["m"][..., :, None] * prior["m"][..., None, :]
+        mm1 = m[..., :, None] * m[..., None, :]
+        psi = (
+            prior["nu"][..., None, None] * prior["psi"]
+            + prior["kappa"][..., None, None] * mm0
+            - kappa[..., None, None] * mm1
+            + stats["sum_xx"]
+        ) / nu[..., None, None]
+        psi = 0.5 * (psi + jnp.swapaxes(psi, -1, -2))
+        del nsafe
+        h = has[..., None]
+        hh = has[..., None, None]
+        return {
+            "kappa": jnp.where(has, kappa, prior["kappa"]),
+            "m": jnp.where(h, m, prior["m"]),
+            "nu": jnp.where(has, nu, prior["nu"]),
+            "psi": jnp.where(hh, psi, prior["psi"]),
+        }
+
+    def log_marginal(self, prior, posterior, stats, mask) -> jax.Array:
+        """Batched log marginal likelihood (reference src/priors/niw.jl:53-62).
+
+        Returns 0 where ``mask`` is False or N == 0 (the reference formula
+        also evaluates to 0 when posterior == prior).
+        """
+        d = prior["m"].shape[-1]
+        valid = mask & (stats["n"] > 0)
+        ld0 = linalg.chol_logdet(linalg.masked_cholesky(prior["psi"], valid))
+        ld1 = linalg.chol_logdet(
+            linalg.masked_cholesky(posterior["psi"], valid)
+        )
+        nu0, nu1 = prior["nu"], posterior["nu"]
+        out = (
+            -stats["n"] * d * 0.5 * LOG_PI
+            + linalg.log_multivariate_gamma(nu1 / 2.0, d)
+            - linalg.log_multivariate_gamma(nu0 / 2.0, d)
+            + (nu0 / 2.0) * (d * jnp.log(nu0) + ld0)
+            - (nu1 / 2.0) * (d * jnp.log(nu1) + ld1)
+            + (d / 2.0) * jnp.log(prior["kappa"] / posterior["kappa"])
+        )
+        return jnp.where(valid, out, 0.0)
+
+    # ---- sampling ---------------------------------------------------------
+    def sample_params(self, key, hyper, mask):
+        """Draw (mu, Sigma) from the NIW and pack natural parameters.
+
+        Reference src/priors/niw.jl:34-40, re-done via Bartlett on the
+        precision.  Returns a pytree with:
+          phi          [..., D^2+D+1]  natural params for the ll matmul
+          mu           [..., D]
+          prec         [..., D, D]     P = Sigma^-1
+          logdet_sigma [...]
+        """
+        d = hyper["m"].shape[-1]
+        kp, km = jax.random.split(key)
+        prec, factors, logdet_sigma = linalg.sample_wishart_precision(
+            kp, hyper["nu"], hyper["psi"], mask
+        )
+        mu = linalg.sample_mvn_from_precision_factors(
+            km, hyper["m"], factors, hyper["kappa"]
+        )
+        h = jnp.einsum("...ij,...j->...i", prec, mu)
+        quad = jnp.einsum("...i,...i->...", mu, h)
+        c = -0.5 * (d * LOG_2PI + logdet_sigma + quad)
+        phi = jnp.concatenate(
+            [
+                (-0.5 * prec).reshape(prec.shape[:-2] + (d * d,)),
+                h,
+                c[..., None],
+            ],
+            axis=-1,
+        )
+        return {
+            "phi": phi,
+            "mu": mu,
+            "prec": prec,
+            "logdet_sigma": logdet_sigma,
+        }
+
+    # ---- prediction -------------------------------------------------------
+    def posterior_predictive(self, x: jax.Array, hyper) -> jax.Array:
+        """Multivariate Student-t posterior predictive log-density.
+
+        Reference src/priors/niw.jl:68-76:
+        ``MvTDist(nu-D+1, m, ((kappa+1)/(kappa*(nu-D+1))) * nu * psi)``.
+
+        x: [N, D]; hyper batched [...]; returns [N, ...].
+        """
+        d = x.shape[-1]
+        nu_t = hyper["nu"] - d + 1.0  # [...]
+        scale = (
+            ((hyper["kappa"] + 1.0) / (hyper["kappa"] * nu_t))[..., None, None]
+            * hyper["nu"][..., None, None]
+            * hyper["psi"]
+        )
+        chol = linalg.masked_cholesky(scale, jnp.ones(nu_t.shape, bool))
+        logdet = linalg.chol_logdet(chol)
+        # Mahalanobis distances, batched over hyper: diffs[..., d, n] = x[n,d] - m[..., d]
+        diffs = jnp.swapaxes(x, 0, 1) - hyper["m"][..., None]  # [..., D, N]
+        y = jax.lax.linalg.triangular_solve(
+            chol, diffs, left_side=True, lower=True
+        )
+        m2 = jnp.sum(y * y, axis=-2)  # [..., N]
+        ll = (
+            gammaln((nu_t + d) / 2.0)
+            - gammaln(nu_t / 2.0)
+            - 0.5 * d * (jnp.log(nu_t) + LOG_PI)
+            - 0.5 * logdet
+        )[..., None] - 0.5 * (nu_t[..., None] + d) * jnp.log1p(
+            m2 / nu_t[..., None]
+        )
+        return jnp.moveaxis(ll, -1, 0)  # [N, ...]
+
+    # ---- convenience ------------------------------------------------------
+    def default_prior(self, d: int):
+        """Weak default prior: NIW(1, 0, D+3, I) (reference
+        src/dp-parallel-sampling.jl:270-277)."""
+        return {
+            "kappa": jnp.asarray(1.0, jnp.float32),
+            "m": jnp.zeros((d,), jnp.float32),
+            "nu": jnp.asarray(d + 3.0, jnp.float32),
+            "psi": jnp.eye(d, dtype=jnp.float32),
+        }
+
+    def make_prior(self, kappa, m, nu, psi):
+        m = jnp.asarray(m, jnp.float32)
+        return {
+            "kappa": jnp.asarray(kappa, jnp.float32),
+            "m": m,
+            "nu": jnp.asarray(nu, jnp.float32),
+            "psi": jnp.asarray(psi, jnp.float32),
+        }
+
+    def tile_prior(self, prior, batch_shape: tuple):
+        return jax.tree.map(
+            lambda a: jnp.broadcast_to(a, batch_shape + a.shape), prior
+        )
+
+    def shift_prior(self, prior, shift):
+        """Translate the prior mean (used by data auto-centering)."""
+        out = dict(prior)
+        out["m"] = prior["m"] + shift
+        return out
+
+
+GAUSSIAN = GaussianFamily()
