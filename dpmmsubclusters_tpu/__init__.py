@@ -8,8 +8,34 @@ conjugate exponential-family priors (Gaussian/NIW and Multinomial/Dirichlet),
 data-sharded over TPU device meshes.
 """
 
+from .config import DPMMConfig
 from .priors import GAUSSIAN, MULTINOMIAL
 from .priors.niw import GaussianFamily
 from .priors.dirichlet import MultinomialFamily
+from .api import DPMMModel, FitResult, fit, run_from_checkpoint
+from .io.npy import load_data
+from .io.checkpoint import load_checkpoint, save_checkpoint
+from .utils.generators import generate_gaussian_data, generate_mnmm_data
+from .utils.metrics import get_labels_histogram, nmi, varinfo
 
 __version__ = "0.1.0"
+
+__all__ = [
+    "DPMMConfig",
+    "DPMMModel",
+    "FitResult",
+    "GAUSSIAN",
+    "MULTINOMIAL",
+    "GaussianFamily",
+    "MultinomialFamily",
+    "fit",
+    "run_from_checkpoint",
+    "load_data",
+    "load_checkpoint",
+    "save_checkpoint",
+    "generate_gaussian_data",
+    "generate_mnmm_data",
+    "get_labels_histogram",
+    "nmi",
+    "varinfo",
+]

@@ -1,0 +1,388 @@
+"""Public API: ``fit`` / ``predict`` / checkpointing.
+
+TPU-native re-design of the reference's user-facing layer
+(``src/dp-parallel-sampling.jl``): the four ``fit`` overloads (``:215-293``),
+``dp_parallel`` (``:121``), ``run_model_from_checkpoint`` (``:428``),
+``save_model`` (``:450``), ``calculate_posterior`` (``:458``), ``predict``
+(``:532``) and ``cluster_statistics`` (``:509``).  Differences:
+
+* config is one immutable :class:`~dpmmsubclusters_tpu.config.DPMMConfig`
+  (no global variables, no params-file ``include``);
+* data layout is ``[N, D]`` rows-as-points (the reference uses D x N);
+* labels returned are 0-based dense ints;
+* Gaussian data is auto-centered before sampling (the prior mean is shifted
+  to match, results are shifted back) so float32 sufficient-statistic GEMMs
+  stay accurate where the reference needed Float64 (``src/priors/niw.jl:46``).
+"""
+from __future__ import annotations
+
+import dataclasses
+from typing import Any, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from .config import DPMMConfig
+from .priors import GAUSSIAN, MULTINOMIAL
+from .parallel.mesh import make_data_mesh
+from .sampler.driver import DPMMEngine, DPMMState, IterStats, run_loop
+from .sampler.table import log_posterior as _table_log_posterior
+from .io.checkpoint import load_checkpoint, save_checkpoint
+
+_FAMILIES = {"gaussian": GAUSSIAN, "multinomial": MULTINOMIAL}
+
+
+def _resolve_family(family, prior):
+    if family is None:
+        if prior is not None and "alpha" in prior:
+            return MULTINOMIAL
+        return GAUSSIAN
+    if isinstance(family, str):
+        return _FAMILIES[family]
+    return family
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+def _effective_chunk(cfg: DPMMConfig, n: int, n_dev: int) -> int:
+    per_dev = -(-n // n_dev)
+    return max(8, min(cfg.chunk_size, _round_up(per_dev, 8)))
+
+
+@dataclasses.dataclass
+class DPMMModel:
+    """A fitted (or checkpointed) model: everything needed for prediction,
+    posterior evaluation, and resuming."""
+
+    family: Any
+    table: Any                  # host pytree (cluster table)
+    shift: np.ndarray           # centering shift applied to the data
+    cfg: DPMMConfig
+    n_points: int
+    labels_raw: np.ndarray      # slot-id labels, [n_points]
+    sublabels: np.ndarray       # {0,1}, [n_points]
+    key: np.ndarray
+    step: int = 0
+
+    # -- exports ------------------------------------------------------------
+    @property
+    def active_slots(self) -> np.ndarray:
+        return np.flatnonzero(np.asarray(self.table["active"]))
+
+    @property
+    def k(self) -> int:
+        return len(self.active_slots)
+
+    @property
+    def labels(self) -> np.ndarray:
+        """Dense 0-based labels."""
+        k_max = np.asarray(self.table["active"]).shape[0]
+        lut = np.zeros(k_max, np.int32)
+        lut[self.active_slots] = np.arange(self.k, dtype=np.int32)
+        return lut[self.labels_raw]
+
+    @property
+    def weights(self) -> np.ndarray:
+        """Sampled mixture weights of the active clusters (dense order)."""
+        w = np.exp(np.asarray(self.table["log_weights"], np.float64))
+        return w[self.active_slots]
+
+    @property
+    def counts(self) -> np.ndarray:
+        return np.asarray(self.table["stats"]["n"])[self.active_slots, 0]
+
+    def cluster_params(self) -> list:
+        """Per-cluster dict of posterior hyperparams (+ sampled params),
+        de-centered back to the original data space."""
+        out = []
+        shift = self.shift
+        for slot in self.active_slots:
+            post = {
+                k: np.asarray(v)[slot, 0]
+                for k, v in self.table["post"].items()
+            }
+            entry = {"slot": int(slot), "posterior": post}
+            if "m" in post:
+                post["m"] = post["m"] + shift
+                params = self.table["params"]
+                entry["mu"] = np.asarray(params["mu"])[slot, 0] + shift
+                prec = np.asarray(params["prec"])[slot, 0]
+                entry["cov"] = np.linalg.inv(prec)
+            else:
+                params = self.table["params"]
+                entry["log_p"] = np.asarray(params["log_p"])[slot, 0]
+            entry["weight"] = self.weights[list(self.active_slots).index(slot)]
+            out.append(entry)
+        return out
+
+    # -- prediction (reference predict / predict_points,
+    #    src/dp-parallel-sampling.jl:532-537, local_clusters_actions.jl:23-40)
+    def predict(self, x: np.ndarray):
+        """Posterior-predictive hard assignment of new points.
+
+        Returns (labels i32[N] dense 0-based, probs f32[N, K]).
+        """
+        x = np.asarray(x, np.float32) - self.shift
+        slots = self.active_slots
+        post = jax.tree.map(
+            lambda a: jnp.asarray(np.asarray(a)[slots, 0]), self.table["post"]
+        )
+        ll = self.family.posterior_predictive(jnp.asarray(x), post)  # [N, K]
+        w = self.counts + self.cfg.alpha
+        w = w / w.sum()
+        logits = ll + jnp.log(jnp.asarray(w))[None, :]
+        labels = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
+        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        return labels, probs
+
+    def log_posterior(self) -> float:
+        """DP-CRP + marginal-likelihood log posterior
+        (reference ``calculate_posterior``, src/dp-parallel-sampling.jl:458-470)."""
+        table = jax.tree.map(jnp.asarray, self.table)
+        return float(
+            _table_log_posterior(
+                self.family, table, self.cfg.alpha, float(self.n_points)
+            )
+        )
+
+    def cluster_statistics(self, x: np.ndarray, labels: np.ndarray):
+        """Average per-cluster log-likelihood and responsibility of ``x``
+        under the *sampled* cluster distributions (reference
+        ``cluster_statistics``, src/dp-parallel-sampling.jl:509-530 -- with
+        the correct Gaussian normalizer, see SURVEY.md L2 bug note)."""
+        x = np.asarray(x, np.float32) - self.shift
+        slots = self.active_slots
+        phi = jnp.asarray(np.asarray(self.table["params"]["phi"])[slots, 0])
+        feat = self.family.features(jnp.asarray(x))
+        ll = np.asarray(feat @ phi.T)  # [N, K]
+        resp = np.asarray(jax.nn.softmax(jnp.asarray(ll), axis=-1))
+        labels = np.asarray(labels)
+        avg_ll = np.zeros(len(slots))
+        avg_prob = np.zeros(len(slots))
+        for i in range(len(slots)):
+            m = labels == i
+            c = max(m.sum(), 1)
+            avg_ll[i] = ll[m, i].sum() / c
+            avg_prob[i] = resp[m, i].sum() / c
+        return avg_ll, avg_prob
+
+    # -- persistence ----------------------------------------------------------
+    def save(self, path: str):
+        save_checkpoint(
+            path,
+            table=self.table,
+            labels=self.labels_raw,
+            sublabels=self.sublabels,
+            key=self.key,
+            step=self.step,
+            shift=self.shift,
+            cfg=self.cfg,
+            family_name=self.family.name,
+            n_points=self.n_points,
+        )
+
+
+@dataclasses.dataclass
+class FitResult:
+    """What ``fit`` returns (counterpart of the reference's 9-tuple,
+    src/dp-parallel-sampling.jl:218)."""
+
+    model: DPMMModel
+    history: IterStats
+
+    # convenience mirrors of the reference tuple
+    @property
+    def labels(self):
+        return self.model.labels
+
+    @property
+    def weights(self):
+        return self.model.weights
+
+    @property
+    def k(self):
+        return self.model.k
+
+    def predict(self, x):
+        return self.model.predict(x)
+
+
+def _prepare_data(data, transposed: bool) -> np.ndarray:
+    x = np.asarray(data, np.float32)
+    if x.ndim != 2:
+        raise ValueError(f"data must be 2-D, got shape {x.shape}")
+    if transposed:
+        x = x.T
+    return np.ascontiguousarray(x)
+
+
+def fit(
+    data,
+    alpha: float = 10.0,
+    prior: Optional[dict] = None,
+    *,
+    family=None,
+    gt=None,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    outlier_prior: Optional[dict] = None,
+    transposed: bool = False,
+    config: Optional[DPMMConfig] = None,
+    **overrides,
+) -> FitResult:
+    """Fit a DPMM with the sub-cluster split/merge sampler.
+
+    Counterpart of the reference ``fit`` overloads
+    (src/dp-parallel-sampling.jl:215-293): ``prior=None`` uses the weak
+    default NIW(1, 0, D+3, I) prior (``:270-277``).  ``data`` is [N, D]
+    (``transposed=True`` accepts the reference's D x N layout).  Any
+    :class:`DPMMConfig` field can be passed as a keyword override.
+    """
+    x = _prepare_data(data, transposed)
+    n, d = x.shape
+
+    cfg = config if config is not None else DPMMConfig()
+    if alpha is not None:
+        overrides.setdefault("alpha", float(alpha))
+    if overrides:
+        cfg = cfg.replace(**overrides)
+
+    fam = _resolve_family(family, prior)
+    if prior is None:
+        prior = fam.default_prior(d)
+    else:
+        prior = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), prior)
+
+    if mesh is None:
+        mesh = make_data_mesh(n_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n, n_dev))
+
+    # auto-centering (gaussian only): keeps f32 sum_xx accurate
+    if cfg.center_data and fam.name == "gaussian":
+        shift = x.mean(axis=0)
+        x = x - shift
+        prior = fam.shift_prior(prior, -jnp.asarray(shift))
+        if outlier_prior is not None:
+            outlier_prior = fam.shift_prior(
+                jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), outlier_prior),
+                -jnp.asarray(shift),
+            )
+    else:
+        shift = np.zeros(d, np.float32)
+
+    engine = DPMMEngine(fam, cfg, mesh)
+    points, valid, n_total = engine.shard_points(x)
+    seed = cfg.seed if cfg.seed is not None else np.random.randint(0, 2**31 - 1)
+    key = jax.random.PRNGKey(seed)
+    state = engine.init_state(key, points, valid, prior, outlier_prior)
+
+    callback = None
+    if cfg.enable_saving:
+        def callback(it, st, _metrics):
+            if (it + 1) % cfg.model_save_interval == 0:
+                _model_from_state(fam, cfg, st, shift, n).save(
+                    f"{cfg.save_path}{cfg.save_file_prefix}{it + 1}.npz"
+                )
+
+    state, hist = run_loop(
+        engine, state, points, valid, n_total, cfg.iters,
+        gt=np.asarray(gt) if gt is not None else None,
+        n_valid=n, callback=callback,
+    )
+    model = _model_from_state(fam, cfg, state, shift, n)
+    return FitResult(model=model, history=hist)
+
+
+def _model_from_state(fam, cfg, state: DPMMState, shift, n: int) -> DPMMModel:
+    table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
+    return DPMMModel(
+        family=fam,
+        table=table,
+        shift=np.asarray(shift, np.float32),
+        cfg=cfg,
+        n_points=n,
+        labels_raw=np.asarray(jax.device_get(state.labels))[:n],
+        sublabels=np.asarray(jax.device_get(state.sublabels))[:n],
+        key=np.asarray(jax.device_get(state.key)),
+        step=state.step,
+    )
+
+
+def run_from_checkpoint(
+    path: str,
+    data,
+    *,
+    iters: Optional[int] = None,
+    gt=None,
+    mesh=None,
+    n_devices: Optional[int] = None,
+    transposed: bool = False,
+    **overrides,
+) -> FitResult:
+    """Resume a run from a checkpoint file (reference
+    ``run_model_from_checkpoint``, src/dp-parallel-sampling.jl:428-447).
+    ``data`` must be the same dataset the checkpoint was trained on."""
+    ck = load_checkpoint(path)
+    cfg: DPMMConfig = ck["config"]
+    if iters is not None:
+        overrides["iters"] = iters
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    fam = _FAMILIES[ck["family"]]
+
+    x = _prepare_data(data, transposed)
+    n, d = x.shape
+    if n != ck["n_points"]:
+        raise ValueError(
+            f"checkpoint was trained on {ck['n_points']} points, got {n}"
+        )
+    shift = np.asarray(ck["shift"], np.float32)
+    x = x - shift
+
+    if mesh is None:
+        mesh = make_data_mesh(n_devices)
+    n_dev = int(np.prod(mesh.devices.shape))
+    cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n, n_dev))
+
+    engine = DPMMEngine(fam, cfg, mesh)
+    points, valid, n_total = engine.shard_points(x)
+    n_pad = points.shape[0]
+
+    from .parallel.mesh import data_sharding, replicated
+
+    def _pad_i32(a, fill):
+        out = np.full((n_pad,), fill, np.int32)
+        out[:n] = a
+        return jax.device_put(out, data_sharding(mesh))
+
+    table = jax.device_put(
+        jax.tree.map(jnp.asarray, ck["table"]), replicated(mesh)
+    )
+    state = DPMMState(
+        table=table,
+        labels=_pad_i32(ck["labels"], 0),
+        sublabels=_pad_i32(ck["sublabels"], 0),
+        key=jax.device_put(jnp.asarray(ck["key"]), replicated(mesh)),
+        step=ck["step"],
+    )
+
+    callback = None
+    if cfg.enable_saving:
+        def callback(it, st, _metrics):
+            if (it + 1) % cfg.model_save_interval == 0:
+                _model_from_state(fam, cfg, st, shift, n).save(
+                    f"{cfg.save_path}{cfg.save_file_prefix}{it + 1}.npz"
+                )
+
+    state, hist = run_loop(
+        engine, state, points, valid, n_total, cfg.iters,
+        first_iter=ck["step"],
+        gt=np.asarray(gt) if gt is not None else None,
+        n_valid=n, callback=callback,
+    )
+    model = _model_from_state(fam, cfg, state, shift, n)
+    return FitResult(model=model, history=hist)

@@ -1,0 +1,52 @@
+"""Configuration for the TPU DPMM sampler.
+
+Replaces the reference's three-source global-variable config system
+(``src/global_params.jl`` defaults, params-file ``include`` overwrite, and
+``fit`` kwargs, see ``src/dp-parallel-sampling.jl:135-146,318``) with a single
+immutable dataclass.  Field names follow the reference knobs; TPU-specific
+fields (``k_max``, ``chunk_size``, ``center_data``) control the padded
+static-shape design.
+"""
+from __future__ import annotations
+
+import dataclasses
+import math
+from typing import Optional
+
+
+@dataclasses.dataclass(frozen=True)
+class DPMMConfig:
+    # --- model (reference src/global_params.jl:7-31) -----------------------
+    alpha: float = 10.0
+    iters: int = 100
+    init_clusters: int = 1
+    burnout: int = 20               # burnout_period
+    argmax_sample_stop: int = 5     # switch to argmax labels for last k iters
+    split_stop: int = 5             # stop split/merge for last k iters
+    hard_clustering: bool = False
+    max_clusters: Optional[int] = None
+    outlier_mod: float = 0.0        # weight of the fixed outlier component
+    smart_splits: bool = False
+    max_split_iter: int = 20
+
+    # --- TPU execution -----------------------------------------------------
+    k_max: int = 64                 # padded cluster-table capacity
+    chunk_size: int = 16384         # points per on-chip tile of the sweep
+    center_data: bool = True        # subtract global mean; shifts prior mean
+    use_pallas: Optional[bool] = None  # None = auto (TPU only)
+
+    # --- run control -------------------------------------------------------
+    seed: Optional[int] = None
+    verbose: bool = True
+
+    # --- checkpointing (reference src/global_params.jl:36-40) --------------
+    enable_saving: bool = False
+    model_save_interval: int = 1000
+    save_path: str = "./"
+    save_file_prefix: str = "checkpoint_"
+
+    def resolved_max_clusters(self) -> float:
+        return math.inf if self.max_clusters is None else self.max_clusters
+
+    def replace(self, **kw) -> "DPMMConfig":
+        return dataclasses.replace(self, **kw)

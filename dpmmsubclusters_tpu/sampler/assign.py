@@ -1,0 +1,134 @@
+"""The fused assignment + sufficient-statistics pass (the hot path).
+
+TPU-native replacement for the reference's three hot loops
+(SURVEY.md §3.2): per-point x per-cluster log-likelihood
+(``src/distributions/mv_gaussian.jl:21-25``), row-wise categorical sampling
+(``src/utils.jl:19-31``), and per-cluster suff-stat GEMMs
+(``src/priors/niw.jl:42-51`` driven by ``create_suff_stats_dict_worker``).
+
+Design: one ``lax.scan`` over point chunks; each chunk does
+  1. ``feat = features(x)``                      [C, F]
+  2. ``ll = feat @ phi^T``                       [C, 3K]  -- one MXU matmul
+     covering every slot's whole/left/right distribution at once
+  3. Gumbel-max label draw on the masked whole-columns (+ log weights)
+  4. sub-label draw from the point's own slot's l/r columns (+ lr weights),
+     selected by one-hot contraction -- no gathers
+  5. ``stats += onehot(label, sub)^T @ stat_features(x)``  [2K, S] MXU matmul
+
+so the N x K likelihood matrix never materializes beyond one chunk, and the
+only cross-device traffic per sweep is the final O(K*S) stats psum.
+
+The pure-jnp path here is the portable reference implementation; see
+``ops/pallas_sweep.py`` for the fused Pallas kernel used on real TPUs.
+"""
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+NEG_INF = -jnp.inf
+
+
+def _chunk(x, chunk):
+    n = x.shape[0]
+    assert n % chunk == 0, (n, chunk)
+    return x.reshape((n // chunk, chunk) + x.shape[1:])
+
+
+def assign_and_stats(
+    key,
+    x,            # [N, D] local points (N % chunk == 0)
+    valid,        # [N] bool; padding rows contribute nothing
+    phi,          # [K, 3, F] natural params (whole, left, right)
+    log_w,        # [K] mixture log-weights (-inf for inactive slots)
+    log_lrw,      # [K, 2] sub-cluster mixture log-weights
+    hard,         # bool scalar: argmax labels instead of sampling
+    family,
+    chunk: int,
+):
+    """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S])."""
+    k_slots = phi.shape[0]
+    f = phi.shape[-1]
+    s = family.stat_dim(x.shape[-1])
+    phi_mat = phi.reshape(3 * k_slots, f).T  # [F, 3K]
+
+    xs = (_chunk(x, chunk), _chunk(valid, chunk))
+    n_chunks = xs[0].shape[0]
+
+    def body(carry, inp):
+        acc, i = carry
+        xc, vc = inp
+        kc = jax.random.fold_in(key, i)
+        k1, k2 = jax.random.split(kc)
+
+        feat = family.features(xc)  # [C, F]
+        ll3 = (feat @ phi_mat).reshape(xc.shape[0], k_slots, 3)
+        ll3 = jnp.nan_to_num(ll3, nan=NEG_INF, posinf=NEG_INF, neginf=NEG_INF)
+
+        logits = ll3[:, :, 0] + log_w[None, :]  # [C, K]; -inf masks inactive
+        labels = jnp.where(
+            hard,
+            jnp.argmax(logits, axis=-1),
+            jax.random.categorical(k1, logits, axis=-1),
+        ).astype(jnp.int32)
+
+        oh = jax.nn.one_hot(labels, k_slots, dtype=xc.dtype)  # [C, K]
+        ll_l = jnp.sum(oh * ll3[:, :, 1], axis=-1)
+        ll_r = jnp.sum(oh * ll3[:, :, 2], axis=-1)
+        lw = oh @ log_lrw  # [C, 2]
+        logits2 = jnp.stack([ll_l + lw[:, 0], ll_r + lw[:, 1]], axis=-1)
+        sub = jax.random.categorical(k2, logits2, axis=-1).astype(jnp.int32)
+
+        ohs = (
+            oh[:, :, None] * jax.nn.one_hot(sub, 2, dtype=xc.dtype)[:, None, :]
+        ).reshape(xc.shape[0], 2 * k_slots)
+        ohs = ohs * vc[:, None].astype(xc.dtype)
+        sfeat = family.stat_features(xc)  # [C, S]
+        acc = acc + (ohs.T @ sfeat).reshape(k_slots, 2, s)
+        return (acc, i + 1), (labels, sub)
+
+    acc0 = jnp.zeros((k_slots, 2, s), jnp.float32)
+    (stats_lr, _), (labels, sublabels) = jax.lax.scan(
+        body, (acc0, jnp.int32(0)), xs, length=n_chunks
+    )
+    return labels.reshape(-1), sublabels.reshape(-1), stats_lr
+
+
+def stats_only(
+    x, valid, labels, sublabels, k_slots: int, family, chunk: int
+):
+    """Recompute per-(slot, side) statistics from given labels/sub-labels.
+
+    Used after split moves and bad-cluster resets rewrite labels
+    (reference ``update_suff_stats_posterior!``,
+    src/local_clusters_actions.jl:206-254).  Returns f32[K, 2, S].
+    """
+    s = family.stat_dim(x.shape[-1])
+    xs = (
+        _chunk(x, chunk),
+        _chunk(valid, chunk),
+        _chunk(labels, chunk),
+        _chunk(sublabels, chunk),
+    )
+
+    def body(acc, inp):
+        xc, vc, lc, sc = inp
+        oh = jax.nn.one_hot(lc, k_slots, dtype=xc.dtype)
+        ohs = (
+            oh[:, :, None] * jax.nn.one_hot(sc, 2, dtype=xc.dtype)[:, None, :]
+        ).reshape(xc.shape[0], 2 * k_slots)
+        ohs = ohs * vc[:, None].astype(xc.dtype)
+        sfeat = family.stat_features(xc)
+        return acc + (ohs.T @ sfeat).reshape(k_slots, 2, s), None
+
+    acc0 = jnp.zeros((k_slots, 2, s), jnp.float32)
+    stats_lr, _ = jax.lax.scan(body, acc0, xs)
+    return stats_lr
+
+
+def lr_to_full(stats_lr):
+    """[K, 2, S] left/right partial stats -> [K, 3, S] with whole = l + r."""
+    whole = stats_lr[:, 0] + stats_lr[:, 1]
+    return jnp.concatenate([whole[:, None], stats_lr], axis=1)

@@ -1,0 +1,245 @@
+"""Host-side engine: compiles the sweep over a device mesh and runs the
+training loop.
+
+TPU-native replacement for the reference's orchestration layer
+(``src/dp-parallel-sampling.jl``): ``run_model``'s per-iteration loop
+(``:336-404``) becomes a thin host loop around ONE jitted SPMD step; all the
+RPC machinery (``@spawnat``/``remotecall``/node-leader trees) is gone --
+points live sharded over the mesh's ``"data"`` axis, the cluster table is
+replicated, and the per-sweep O(K*S) statistics all-reduce is a ``psum``
+inside the compiled program.
+
+Scheduling semantics follow ``run_model`` exactly:
+  * ``final``   = iter > iters - argmax_sample_stop   (labels by argmax)
+  * ``no_more_splits`` = iter >= iters - split_stop or K >= max_clusters
+(``src/dp-parallel-sampling.jl:354-361``), but both are *traced* booleans so
+every iteration reuses the same executable.
+"""
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Any, Callable, Optional
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from ..config import DPMMConfig
+from ..parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated
+from . import assign as assign_mod
+from .table import compute_posteriors, init_table
+from .sweep import make_sweep
+
+
+def _round_up(n: int, m: int) -> int:
+    return ((n + m - 1) // m) * m
+
+
+@dataclasses.dataclass
+class DPMMState:
+    """The complete sampler state (a pytree of device arrays)."""
+
+    table: Any          # replicated cluster table
+    labels: jax.Array   # i32[N_pad] sharded over data
+    sublabels: jax.Array  # i32[N_pad] in {0, 1}
+    key: jax.Array      # replicated PRNG key
+    step: int = 0
+
+
+class DPMMEngine:
+    """Compiled sampler for one (family, config, data-shape, mesh) tuple."""
+
+    def __init__(self, family, cfg: DPMMConfig, mesh=None):
+        self.family = family
+        self.cfg = cfg
+        self.mesh = mesh if mesh is not None else make_data_mesh()
+        self.n_dev = int(np.prod(self.mesh.devices.shape))
+
+        sweep = make_sweep(family, cfg, axis_name=DATA_AXIS)
+        dspec, rspec = P(DATA_AXIS), P()
+        self._step = jax.jit(
+            shard_map(
+                sweep,
+                mesh=self.mesh,
+                in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
+                          rspec, rspec, rspec),
+                out_specs=(rspec, dspec, dspec, rspec, rspec),
+                check_rep=False,
+            ),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
+        k_max, chunk = cfg.k_max, cfg.chunk_size
+
+        def _stats(points, valid, labels, sublabels):
+            stats_lr = assign_mod.stats_only(
+                points, valid, labels, sublabels, k_max, family, chunk
+            )
+            stats_lr = jax.lax.psum(stats_lr, DATA_AXIS)
+            return assign_mod.lr_to_full(stats_lr)
+
+        self._init_stats = jax.jit(
+            shard_map(
+                _stats,
+                mesh=self.mesh,
+                in_specs=(dspec, dspec, dspec, dspec),
+                out_specs=rspec,
+                check_rep=False,
+            )
+        )
+
+    # -- data placement -----------------------------------------------------
+    def pad_size(self, n: int) -> int:
+        """Global padded row count: divisible by n_dev * chunk_size."""
+        return _round_up(max(n, 1), self.n_dev * self.cfg.chunk_size)
+
+    def shard_points(self, x: np.ndarray):
+        """Pad [N, D] host points and place them sharded over the mesh.
+
+        Returns (points, valid, n_total) device arrays.
+        """
+        n, d = x.shape
+        n_pad = self.pad_size(n)
+        xp = np.zeros((n_pad, d), np.float32)
+        xp[:n] = x
+        ds = data_sharding(self.mesh)
+        points = jax.device_put(xp, ds)
+        valid = jax.device_put(np.arange(n_pad) < n, ds)
+        n_total = jax.device_put(jnp.float32(n), replicated(self.mesh))
+        return points, valid, n_total
+
+    # -- state --------------------------------------------------------------
+    def init_state(self, key, points, valid, prior, outlier_prior=None,
+                   init_labels: Optional[np.ndarray] = None) -> DPMMState:
+        """Random first assignment + one statistics pass.
+
+        Mirrors ``init_model_from_data`` + ``init_first_clusters!``
+        (src/dp-parallel-sampling.jl:36-78): labels uniform over the
+        ``init_clusters`` real slots (the outlier slot, when present, starts
+        empty), sub-labels uniform over {0, 1}.
+        """
+        cfg = self.cfg
+        n_pad, d = points.shape
+        table = init_table(self.family, prior, outlier_prior, cfg, d)
+
+        key, kl, ks = jax.random.split(jnp.asarray(key), 3)
+        offset = 1 if cfg.outlier_mod > 0 else 0
+        ds = data_sharding(self.mesh)
+        if init_labels is None:
+            labels = jax.random.randint(
+                kl, (n_pad,), offset, offset + cfg.init_clusters, jnp.int32
+            )
+        else:
+            lp = np.full((n_pad,), offset, np.int32)
+            lp[: len(init_labels)] = np.asarray(init_labels, np.int32) + offset
+            labels = jnp.asarray(lp)
+        labels = jax.device_put(jax.device_get(labels), ds)
+        sublabels = jax.device_put(
+            jax.device_get(
+                jax.random.randint(ks, (n_pad,), 0, 2, jnp.int32)
+            ),
+            ds,
+        )
+
+        flat3 = self._init_stats(points, valid, labels, sublabels)
+        stats = self.family.stats_from_flat(flat3, d)
+        table = compute_posteriors(self.family, {**table, "stats": stats})
+        # Pre-fill sampled params so the table pytree structure is stable
+        # across jitted steps (mirrors init_first_clusters!'s
+        # sample_clusters! at src/dp-parallel-sampling.jl:76).
+        from . import moves as moves_mod
+
+        key, kp = jax.random.split(key)
+        table = jax.jit(moves_mod.sample_params_step, static_argnums=(2, 3, 4))(
+            kp, table, cfg.alpha, cfg.outlier_mod, self.family
+        )
+        table = jax.device_put(table, replicated(self.mesh))
+        key = jax.device_put(jax.device_get(key), replicated(self.mesh))
+        return DPMMState(table=table, labels=labels, sublabels=sublabels,
+                         key=key, step=0)
+
+    # -- one sweep ----------------------------------------------------------
+    def step(self, state: DPMMState, points, valid, n_total,
+             final: bool, no_more_splits: bool):
+        """Run one Gibbs sweep; returns (new_state, metrics dict of scalars)."""
+        table, labels, sublabels, key, metrics = self._step(
+            state.table, state.labels, state.sublabels, state.key,
+            points, valid, n_total,
+            jnp.asarray(final), jnp.asarray(no_more_splits),
+        )
+        return (
+            DPMMState(table=table, labels=labels, sublabels=sublabels,
+                      key=key, step=state.step + 1),
+            metrics,
+        )
+
+
+@dataclasses.dataclass
+class IterStats:
+    """Per-iteration history, mirroring run_model's returned histories
+    (src/dp-parallel-sampling.jl:338-344,403)."""
+
+    k: list
+    log_posterior: list
+    times: list
+    nmi: list
+
+    @staticmethod
+    def empty():
+        return IterStats([], [], [], [])
+
+
+def run_loop(
+    engine: DPMMEngine,
+    state: DPMMState,
+    points,
+    valid,
+    n_total,
+    iters: int,
+    *,
+    first_iter: int = 0,
+    gt: Optional[np.ndarray] = None,
+    n_valid: Optional[int] = None,
+    callback: Optional[Callable] = None,
+    verbose: Optional[bool] = None,
+) -> tuple[DPMMState, IterStats]:
+    """The training loop (reference ``run_model``,
+    src/dp-parallel-sampling.jl:336-404)."""
+    cfg = engine.cfg
+    verbose = cfg.verbose if verbose is None else verbose
+    hist = IterStats.empty()
+    max_k = cfg.resolved_max_clusters()
+    k_now = int(jnp.sum(state.table["active"]))
+
+    for it in range(first_iter, iters):
+        t0 = time.perf_counter()
+        final = it >= iters - cfg.argmax_sample_stop
+        no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)
+        state, metrics = engine.step(
+            state, points, valid, n_total, final, no_more_splits
+        )
+        k_now = int(metrics["k"])  # blocks: also our per-iter timing fence
+        dt = time.perf_counter() - t0
+
+        hist.k.append(k_now)
+        hist.log_posterior.append(float(metrics["log_posterior"]))
+        hist.times.append(dt)
+        if gt is not None:
+            from ..utils.metrics import nmi as nmi_fn
+
+            labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
+            hist.nmi.append(nmi_fn(gt, labels_h))
+        if verbose:
+            msg = (
+                f"iter {it + 1}: K={k_now} "
+                f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
+            )
+            if gt is not None:
+                msg += f" nmi={hist.nmi[-1]:.3f}"
+            print(msg)
+        if callback is not None:
+            callback(it, state, metrics)
+    return state, hist

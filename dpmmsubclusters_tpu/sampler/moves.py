@@ -1,0 +1,342 @@
+"""Cluster-level sampler moves on the padded table.
+
+Vectorized, static-shape re-designs of the reference's per-cluster Julia
+loops:
+
+* :func:`sample_params_step`   -- ``sample_clusters!`` + ``sample_cluster_params``
+  (src/local_clusters_actions.jl:417-437, src/shared_actions.jl:41-66)
+* :func:`reset_bad`            -- ``reset_bad_clusters!`` (:481-516)
+* :func:`split_move`           -- ``check_and_split!`` / ``should_split_local!``
+  (:318-382) with free-slot allocation replacing vector growth
+* :func:`merge_move`           -- ``check_and_merge!`` / ``should_merge!``
+  (:385-413, src/shared_actions.jl:21-38) as a masked pairwise scan with
+  disjoint one-merge-per-cluster matching
+* :func:`remove_empty`         -- ``remove_empty_clusters!`` (:446-471) as a
+  mask update (labels are slot ids; no renumbering needed)
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+from jax.scipy.special import gammaln
+
+from ..ops.linalg import sample_dirichlet
+from .table import side_tile, compute_posteriors
+
+NEG_INF = -jnp.inf
+
+
+def _mask3(table):
+    return jnp.broadcast_to(
+        table["active"][:, None], (table["active"].shape[0], 3)
+    )
+
+
+def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
+    """Draw all cluster/sub-cluster distributions, lr-weights, global mixture
+    weights; update the sub-likelihood history and splittable flags."""
+    k = table["active"].shape[0]
+    kp, klr, kw = jax.random.split(key, 3)
+    active = table["active"]
+
+    # distributions for (whole, l, r) of every slot, one batched draw
+    params = family.sample_params(kp, table["post"], _mask3(table))
+
+    # lr_weights ~ Dir(Nl + a/2, Nr + a/2)   (shared_actions.jl:41-52)
+    n = table["stats"]["n"]  # [K, 3]
+    lr_alpha = jnp.stack([n[:, 1], n[:, 2]], axis=-1) + alpha / 2.0
+    lr_weights = sample_dirichlet(klr, lr_alpha)
+
+    # sub-likelihood history ring buffer + splittable flag
+    # (shared_actions.jl:54-63)
+    prior3 = side_tile(table["prior"])
+    lm = family.log_marginal(prior3, table["post"], table["stats"], _mask3(table))
+    newest = lm[:, 1] + lm[:, 2]
+    hist = jnp.concatenate([table["hist"][:, 1:], newest[:, None]], axis=-1)
+    b = hist.shape[1]
+    avg = jnp.sum(hist, axis=-1) / (b - 0.1)
+    converged = jnp.isfinite(avg) & ((avg - hist[:, -1]) < 1e-2)
+    splittable = (table["splittable"] | converged) & active
+    hist = jnp.where(active[:, None], hist, NEG_INF)
+
+    # mixture weights ~ Dir([counts..., alpha]) * (1 - outlier_mod)
+    # (local_clusters_actions.jl:428-436)
+    counts = n[:, 0]
+    real = active & ~table["is_outlier"]
+    gam_alpha = jnp.concatenate(
+        [jnp.where(real, counts, 0.0), jnp.asarray([alpha], jnp.float32)]
+    )
+    w = sample_dirichlet(kw, gam_alpha)[:k] * (1.0 - outlier_mod)
+    log_w = jnp.where(real, jnp.log(jnp.maximum(w, 1e-37)), NEG_INF)
+    if outlier_mod > 0:
+        log_w = jnp.where(
+            table["is_outlier"] & active, jnp.log(outlier_mod), log_w
+        )
+
+    return {
+        **table,
+        "params": params,
+        "lr_weights": lr_weights,
+        "log_weights": log_w.astype(jnp.float32),
+        "hist": hist,
+        "splittable": splittable,
+    }
+
+
+def reset_bad(key_pts, table, labels, sublabels):
+    """Clusters with an empty sub-cluster get their history reset and their
+    points' sub-labels re-randomized (local_clusters_actions.jl:481-516)."""
+    n = table["stats"]["n"]
+    bad = table["active"] & ((n[:, 1] == 0) | (n[:, 2] == 0))
+    hist = jnp.where(bad[:, None], NEG_INF, table["hist"])
+    splittable = table["splittable"] & ~bad
+
+    redo = jnp.take(bad, labels)
+    fresh = jax.random.bernoulli(key_pts, 0.5, labels.shape).astype(jnp.int32)
+    sublabels = jnp.where(redo, fresh, sublabels)
+    table = {**table, "hist": hist, "splittable": splittable}
+    return table, sublabels, jnp.any(bad)
+
+
+def _scatter_rows(arr, dst, src_rows):
+    """arr[dst[i]] <- src_rows[i] for dst[i] < K (drop out-of-range)."""
+    return arr.at[dst].set(src_rows, mode="drop")
+
+
+def split_move(key, key_pts, table, labels, sublabels, alpha: float, final, family):
+    """Metropolis-Hastings split proposals for every splittable slot at once.
+
+    Acceptance ratio (local_clusters_actions.jl:318-343):
+      log_HR = log a + lgamma(Nl) + L_l + lgamma(Nr) + L_r - lgamma(N) - L
+    Accepted slot k moves its right-sub-cluster points to a free slot and both
+    slots restart burnout with re-randomized sub-labels.
+    """
+    k = table["active"].shape[0]
+    ku, klr = jax.random.split(key)
+    active = table["active"]
+    n = table["stats"]["n"]
+
+    prior3 = side_tile(table["prior"])
+    lm = family.log_marginal(prior3, table["post"], table["stats"], _mask3(table))
+    eligible = (
+        active
+        & table["splittable"]
+        & ~table["is_outlier"]
+        & (n[:, 0] > 1)
+        & (n[:, 1] > 0)
+        & (n[:, 2] > 0)
+        & ~final
+    )
+    safe = jnp.maximum(n, 1e-30)
+    log_hr = (
+        jnp.log(alpha)
+        + gammaln(safe[:, 1])
+        + lm[:, 1]
+        + gammaln(safe[:, 2])
+        + lm[:, 2]
+        - gammaln(safe[:, 0])
+        - lm[:, 0]
+    )
+    u = jax.random.uniform(ku, (k,), minval=1e-37)
+    accept = eligible & (log_hr > jnp.log(u))
+
+    # allocate one free slot per accepted split, in slot order
+    free = ~active
+    n_free = jnp.sum(free.astype(jnp.int32))
+    rank = jnp.cumsum(accept.astype(jnp.int32)) - 1
+    accept = accept & (rank < n_free)
+    free_rank = jnp.cumsum(free.astype(jnp.int32)) - 1
+    slot_of_rank = (
+        jnp.full((k,), k, jnp.int32)
+        .at[jnp.where(free, free_rank, k)]
+        .set(jnp.arange(k, dtype=jnp.int32), mode="drop")
+    )
+    new_slot = jnp.take(slot_of_rank, jnp.clip(rank, 0, k - 1))
+
+    # rewrite labels: right-side points of accepted slots move to the new slot
+    acc_pt = jnp.take(accept, labels)
+    new_pt = jnp.take(new_slot, labels)
+    labels = jnp.where(acc_pt & (sublabels == 1), new_pt, labels)
+    # re-randomize sub-labels of all points of the affected (old+new) slots
+    fresh = jax.random.bernoulli(key_pts, 0.5, labels.shape).astype(jnp.int32)
+    sublabels = jnp.where(acc_pt, fresh, sublabels)
+
+    dst = jnp.where(accept, new_slot, k)
+    new_mask = (
+        jnp.zeros((k,), bool).at[dst].set(True, mode="drop")
+    )
+    touched = accept | new_mask
+
+    active = active.at[dst].set(True, mode="drop")
+    prior = jax.tree.map(lambda a: _scatter_rows(a, dst, a), table["prior"])
+    # Stats bookkeeping matching create_splittable_from_params
+    # (shared_actions.jl:2-9): the new slot starts as three copies of the
+    # parent's *right* sub-cluster stats, the old slot as copies of its
+    # *left*; the post-split recompute pass then refreshes the sub-stats
+    # under the re-randomized sub-labels.
+    r_copies = jnp.asarray([2, 2, 2])
+    l_copies = jnp.asarray([1, 1, 1])
+    stats = jax.tree.map(
+        lambda a: _scatter_rows(a, dst, a[:, r_copies]), table["stats"]
+    )
+    stats = jax.tree.map(
+        lambda a, b: jnp.where(
+            accept.reshape((k,) + (1,) * (a.ndim - 1)), a[:, l_copies], b
+        ),
+        table["stats"],
+        stats,
+    )
+    lr_fresh = sample_dirichlet(
+        klr, jnp.full((k, 2), alpha / 2.0, jnp.float32)
+    )
+    lr_weights = jnp.where(touched[:, None], lr_fresh, table["lr_weights"])
+    hist = jnp.where(touched[:, None], NEG_INF, table["hist"])
+    splittable = table["splittable"] & ~touched
+
+    table = {
+        **table,
+        "active": active,
+        "prior": prior,
+        "stats": stats,
+        "lr_weights": lr_weights,
+        "hist": hist,
+        "splittable": splittable,
+    }
+    return table, labels, sublabels, jnp.any(accept)
+
+
+def merge_move(key, table, labels, sublabels, alpha: float, final, family):
+    """Masked pairwise Metropolis-Hastings merge scan.
+
+    Hastings ratio per (shared_actions.jl:21-38):
+      log_HR = -log a + lgamma(a) - 2 lgamma(a/2)
+               + lgamma(Nm) - lgamma(Nm + a)
+               + lgamma(Ni + a/2) - lgamma(Ni) + lgamma(Nj + a/2) - lgamma(Nj)
+               + L_merged - L_i - L_j
+    accepted when log_HR > log U, or (final sweep) log_HR > log 0.1.
+
+    Unlike the reference's sequential chain-absorbing scan we select a
+    *disjoint* set of pairs per sweep (each slot participates in at most one
+    merge), every accepted pair still justified by an exact MH ratio on the
+    pre-move state; chains simply take one extra sweep.
+    """
+    k = table["active"].shape[0]
+    ku, klr = jax.random.split(key)
+    active = table["active"]
+    stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+    post_w = jax.tree.map(lambda a: a[:, 0], table["post"])
+    n_w = stats_w["n"]
+    eligible = active & table["splittable"] & (n_w > 0) & ~table["is_outlier"]
+
+    lm_w = family.log_marginal(table["prior"], post_w, stats_w, eligible)
+    safe_n = jnp.maximum(n_w, 1e-30)
+
+    flat_w = family.stats_to_flat(stats_w)  # [K, S]
+    dim = (
+        table["prior"]["m"].shape[-1]
+        if "m" in table["prior"]
+        else table["prior"]["alpha"].shape[-1]
+    )
+
+    def row(i):
+        merged_flat = flat_w[i][None, :] + flat_w  # [K, S]
+        merged = family.stats_from_flat(merged_flat, dim)
+        prior_i = jax.tree.map(lambda a: jnp.broadcast_to(a[i], (k,) + a.shape[1:]), table["prior"])
+        post_m = family.calc_posterior(prior_i, merged)
+        lm_m = family.log_marginal(prior_i, post_m, merged, jnp.ones((k,), bool))
+        nm = n_w[i] + n_w
+        return (
+            -jnp.log(alpha)
+            + gammaln(alpha)
+            - 2.0 * gammaln(alpha / 2.0)
+            + gammaln(jnp.maximum(nm, 1e-30))
+            - gammaln(nm + alpha)
+            + gammaln(safe_n[i] + alpha / 2.0)
+            - gammaln(safe_n[i])
+            + gammaln(safe_n + alpha / 2.0)
+            - gammaln(safe_n)
+            + lm_m
+            - lm_w[i]
+            - lm_w
+        )
+
+    log_hr = jax.vmap(row)(jnp.arange(k))  # [K, K]
+
+    u = jax.random.uniform(ku, (k, k), minval=1e-37)
+    i_idx = jnp.arange(k)[:, None]
+    j_idx = jnp.arange(k)[None, :]
+    pair_ok = (
+        eligible[:, None]
+        & eligible[None, :]
+        & (j_idx > i_idx)
+        & ((log_hr > jnp.log(u)) | (final & (log_hr > jnp.log(0.1))))
+    )
+
+    # disjoint matching: each loser j takes its smallest winner i; each winner
+    # keeps only its smallest loser; a winner that is itself a loser is dropped.
+    has_w = jnp.any(pair_ok, axis=0)  # [K] per loser j
+    winner = jnp.argmax(pair_ok, axis=0).astype(jnp.int32)  # first True
+    m = (winner[None, :] == i_idx) & has_w[None, :]  # [K(winner), K(loser)]
+    first_j = jnp.argmax(m, axis=1).astype(jnp.int32)
+    kept0 = has_w & (jnp.take(first_j, winner) == j_idx[0])
+    kept = kept0 & ~jnp.take(kept0, winner)
+    kept_winner = (
+        jnp.zeros((k,), bool)
+        .at[jnp.where(kept, winner, k)]
+        .set(True, mode="drop")
+    )
+
+    # labels / sub-labels  (merge_clusters_worker!, :293-304)
+    pt_loser = jnp.take(kept, labels)
+    pt_winner_slot = jnp.take(winner, labels)
+    sublabels = jnp.where(
+        pt_loser, 1, jnp.where(jnp.take(kept_winner, labels), 0, sublabels)
+    )
+    labels = jnp.where(pt_loser, pt_winner_slot, labels)
+
+    # stats surgery (merge_clusters_to_splittable, shared_actions.jl:12-18)
+    flat3 = family.stats_to_flat(table["stats"])  # [K, 3, S]
+    old_whole = flat3[:, 0]  # [K, S]
+    dsti = jnp.where(kept, winner, k)
+    flat3 = flat3.at[dsti, 0].add(old_whole, mode="drop")
+    flat3 = flat3.at[dsti, 1].set(
+        jnp.take(old_whole, winner, axis=0), mode="drop"
+    )
+    flat3 = flat3.at[dsti, 2].set(old_whole, mode="drop")
+    flat3 = jnp.where(kept[:, None, None], 0.0, flat3)
+    stats = family.stats_from_flat(flat3, dim)
+
+    lr_alpha = jnp.stack(
+        [jnp.take(n_w, winner) + alpha / 2.0, n_w + alpha / 2.0], axis=-1
+    )
+    lr_fresh = sample_dirichlet(klr, lr_alpha)  # per loser j: weights for its winner
+    lr_weights = table["lr_weights"].at[dsti].set(lr_fresh, mode="drop")
+
+    touched = kept | kept_winner
+    hist = jnp.where(touched[:, None], NEG_INF, table["hist"])
+    splittable = table["splittable"] & ~touched
+    active = active & ~kept
+
+    table = {
+        **table,
+        "active": active,
+        "stats": stats,
+        "lr_weights": lr_weights,
+        "hist": hist,
+        "splittable": splittable,
+    }
+    table = compute_posteriors(family, table)
+    return table, labels, sublabels
+
+
+def remove_empty(table, outlier_mod: float):
+    """Deactivate slots whose cluster lost all its points
+    (remove_empty_clusters!, local_clusters_actions.jl:446-471)."""
+    n_w = table["stats"]["n"][:, 0]
+    keep = (n_w > 0) | table["is_outlier"]
+    if outlier_mod > 0:
+        real = table["active"] & ~table["is_outlier"]
+        only_real = jnp.sum(real.astype(jnp.int32)) == 1
+        keep = keep | (real & only_real)
+    active = table["active"] & keep
+    return {**table, "active": active, "splittable": table["splittable"] & active}

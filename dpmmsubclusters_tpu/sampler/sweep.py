@@ -1,0 +1,143 @@
+"""One full restricted-Gibbs sweep as a single SPMD program.
+
+TPU-native replacement for ``group_step`` (src/local_clusters_actions.jl:658-673)
+and its master/worker RPC choreography.  Order of sub-steps matches the
+reference exactly:
+
+  A. sample cluster params + weights                 (sample_clusters!)
+  B. parameter broadcast -- implicit: the table is replicated; every device
+     computes the same table update from the same PRNG key (no RPC, no retry
+     machinery; reference :518-549)
+  C. label sampling         \\
+  D. sub-label sampling      }  fused one pass      (sample_labels! /
+  E. sufficient statistics  /                        sample_sub_clusters! /
+     + one psum over the data mesh axis              update_suff_stats_posterior!)
+  F. reset bad clusters (+ conditional stats recompute)
+  G. split moves (+ conditional stats recompute), merge moves
+  H. deactivate empty slots
+
+All table-level math is replicated across devices (identical keys -> identical
+results); only points/labels/sub-labels are sharded; the only communication is
+the O(K*S) statistics all-reduce -- the collective equivalent of the
+reference's two-level node-leader reduction tree (src/utils.jl:51-64).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from . import assign as assign_mod
+from . import moves
+from .table import compute_posteriors, log_posterior, active_count
+
+NEG_INF = -jnp.inf
+
+
+def make_sweep(family, cfg, axis_name: Optional[str] = None):
+    """Build the jittable sweep function.
+
+    Returned signature:
+      sweep(table, labels, sublabels, key, points, valid, n_total,
+            final, no_more_splits) -> (table, labels, sublabels, key, metrics)
+
+    ``final`` / ``no_more_splits`` are traced booleans so the same compiled
+    program serves every iteration (including the fully-fused scan mode).
+    """
+    chunk = cfg.chunk_size
+    alpha = float(cfg.alpha)
+    outlier_mod = float(cfg.outlier_mod)
+
+    def sweep(table, labels, sublabels, key, points, valid, n_total,
+              final, no_more_splits):
+        d = points.shape[-1]
+        k_slots = table["active"].shape[0]
+
+        def stats_pass(labels, sublabels):
+            stats_lr = assign_mod.stats_only(
+                points, valid, labels, sublabels, k_slots, family, chunk
+            )
+            if axis_name is not None:
+                stats_lr = jax.lax.psum(stats_lr, axis_name)
+            return assign_mod.lr_to_full(stats_lr)
+
+        def set_stats(table, flat3):
+            stats = family.stats_from_flat(flat3, d)
+            return compute_posteriors(family, {**table, "stats": stats})
+
+        dev = (
+            jax.lax.axis_index(axis_name)
+            if axis_name is not None
+            else jnp.int32(0)
+        )
+        key, ka, kb, kf, kg1, kg2 = jax.random.split(key, 6)
+        kb_pts = jax.random.fold_in(kb, dev)
+        kf_pts = jax.random.fold_in(kf, dev)
+        kg_pts = jax.random.fold_in(kg1, dev)
+
+        # A + B: replicated parameter draws
+        table = moves.sample_params_step(ka, table, alpha, outlier_mod, family)
+
+        # C + D + E: fused assignment & statistics
+        hard = final | jnp.asarray(cfg.hard_clustering)
+        labels, sublabels, stats_lr = assign_mod.assign_and_stats(
+            kb_pts,
+            points,
+            valid,
+            table["params"]["phi"],
+            table["log_weights"],
+            jnp.log(jnp.maximum(table["lr_weights"], 1e-37)),
+            hard,
+            family,
+            chunk,
+        )
+        if axis_name is not None:
+            stats_lr = jax.lax.psum(stats_lr, axis_name)
+        table = set_stats(table, assign_mod.lr_to_full(stats_lr))
+
+        # F: reset clusters with an empty sub-cluster
+        table, sublabels, any_bad = moves.reset_bad(kf_pts, table, labels, sublabels)
+
+        def recompute(args):
+            table, labels, sublabels = args
+            flat3 = stats_pass(labels, sublabels)
+            return set_stats(table, flat3)
+
+        def keep(args):
+            return args[0]
+
+        table = jax.lax.cond(any_bad, recompute, keep, (table, labels, sublabels))
+
+        # G: split + merge moves
+        def do_moves(args):
+            table, labels, sublabels = args
+            table, labels, sublabels, any_split = moves.split_move(
+                kg1, kg_pts, table, labels, sublabels, alpha, final, family
+            )
+            table = jax.lax.cond(
+                any_split, recompute, keep, (table, labels, sublabels)
+            )
+            table, labels, sublabels = moves.merge_move(
+                kg2, table, labels, sublabels, alpha, final, family
+            )
+            return table, labels, sublabels
+
+        def no_moves(args):
+            return args
+
+        table, labels, sublabels = jax.lax.cond(
+            no_more_splits, no_moves, do_moves, (table, labels, sublabels)
+        )
+
+        # H: drop empty slots
+        table = moves.remove_empty(table, outlier_mod)
+
+        metrics = {
+            "k": active_count(table),
+            "log_posterior": log_posterior(family, table, alpha, n_total),
+        }
+        return table, labels, sublabels, key, metrics
+
+    return sweep

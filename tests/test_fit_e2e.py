@@ -1,0 +1,110 @@
+"""End-to-end fit tests, mirroring the reference's integration suite
+(``test/module_tests.jl``) on an 8-virtual-device CPU mesh."""
+import numpy as np
+import pytest
+
+import dpmmsubclusters_tpu as dpmm
+
+
+def four_corners(n=1000):
+    """1000 points at 4 exact corners (reference test/module_tests.jl:1-8)."""
+    x = np.zeros((n, 2), np.float32)
+    labels = np.zeros(n, np.int64)
+    corners = np.array([[10.0, 10.0], [-10.0, 10.0], [10.0, -10.0], [-10.0, -10.0]])
+    for i in range(4):
+        x[i * (n // 4) : (i + 1) * (n // 4)] = corners[i]
+        labels[i * (n // 4) : (i + 1) * (n // 4)] = i
+    return x, labels
+
+
+class TestFourCorners:
+    """The golden deterministic gate (reference test/module_tests.jl:10-32)."""
+
+    @pytest.fixture(scope="class")
+    def result(self):
+        x, gt = four_corners()
+        return (
+            dpmm.fit(x, alpha=100.0, iters=200, seed=12345, verbose=False),
+            x,
+            gt,
+        )
+
+    def test_k(self, result):
+        res, x, gt = result
+        assert res.k == 4
+
+    def test_weights(self, result):
+        res, x, gt = result
+        assert np.all(res.weights > 0.15)
+
+    def test_histogram(self, result):
+        res, x, gt = result
+        hist = dpmm.get_labels_histogram(res.labels)
+        assert sorted(hist.values()) == [250, 250, 250, 250]
+
+    def test_nmi(self, result):
+        res, x, gt = result
+        assert dpmm.nmi(gt, res.labels) > 0.999
+
+    def test_predict_matches_training_labels(self, result):
+        res, x, gt = result
+        pred, probs = res.predict(x)
+        assert np.array_equal(pred, res.labels)
+        assert probs.shape == (len(x), 4)
+
+    def test_log_posterior_finite(self, result):
+        res, x, gt = result
+        assert np.isfinite(res.model.log_posterior())
+
+
+def test_gaussian_mixture_recovery():
+    """Statistical smoke test (reference test/module_tests.jl:36-47, scaled
+    down for CI): splits must discover multiple clusters."""
+    x, gt, _, _ = dpmm.generate_gaussian_data(10_000, 3, 10, 100.0, seed=0)
+    res = dpmm.fit(x, alpha=10.0, iters=60, seed=7, verbose=False)
+    assert res.k > 1
+    assert dpmm.nmi(gt, res.labels) > 0.6
+
+
+def test_multinomial_fit():
+    x, gt, _ = dpmm.generate_mnmm_data(2_000, 20, 3, 50, seed=1)
+    res = dpmm.fit(
+        x,
+        alpha=1.0,
+        prior={"alpha": np.ones(20, np.float32)},
+        family="multinomial",
+        iters=60,
+        seed=3,
+        verbose=False,
+    )
+    assert res.k > 1
+    assert dpmm.nmi(gt, res.labels) > 0.5
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    """Save mid-run, resume, finish (reference test/module_tests.jl:49-60)."""
+    x, gt = four_corners()
+    ckpt = str(tmp_path) + "/ck_"
+    res = dpmm.fit(
+        x, alpha=100.0, iters=40, seed=11, verbose=False,
+        enable_saving=True, model_save_interval=20,
+        save_path=ckpt, save_file_prefix="checkpoint_",
+    )
+    res2 = dpmm.run_from_checkpoint(
+        f"{ckpt}checkpoint_20.npz", x, iters=60, verbose=False
+    )
+    assert res2.k >= 2
+    assert len(res2.history.k) == 40  # iters 20..60
+    assert dpmm.nmi(gt, res2.labels) > 0.9
+
+
+def test_single_device_matches_multi():
+    """Mesh-size invariance: the same seed gives identical cluster counts on
+    1 device and 8 devices (the psum reduction is deterministic)."""
+    x, gt = four_corners(400)
+    r1 = dpmm.fit(x, alpha=100.0, iters=60, seed=5, verbose=False,
+                  n_devices=1, burnout=5)
+    r8 = dpmm.fit(x, alpha=100.0, iters=60, seed=5, verbose=False,
+                  n_devices=8, burnout=5)
+    assert r1.k == 4
+    assert r8.k == 4
