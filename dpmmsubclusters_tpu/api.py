@@ -128,25 +128,28 @@ class DPMMModel:
         x = np.asarray(x, np.float32) - self.shift
         slots = self.active_slots
         post = jax.tree.map(
-            lambda a: jnp.asarray(np.asarray(a)[slots, 0]), self.table["post"]
+            lambda a: np.asarray(a)[slots, 0], self.table["post"]
         )
-        ll = self.family.posterior_predictive(jnp.asarray(x), post)  # [N, K]
+        # one jitted program (eager per-op dispatch is slow on remote backends)
+        ll = np.asarray(
+            jax.jit(self.family.posterior_predictive)(jnp.asarray(x), post)
+        )  # [N, K]
         w = self.counts + self.cfg.alpha
-        w = w / w.sum()
-        logits = ll + jnp.log(jnp.asarray(w))[None, :]
-        labels = np.asarray(jnp.argmax(logits, axis=-1), np.int32)
-        probs = np.asarray(jax.nn.softmax(logits, axis=-1))
+        logits = ll + np.log(w / w.sum())[None, :]
+        labels = np.argmax(logits, axis=-1).astype(np.int32)
+        z = np.exp(logits - logits.max(axis=-1, keepdims=True))
+        probs = (z / z.sum(axis=-1, keepdims=True)).astype(np.float32)
         return labels, probs
 
     def log_posterior(self) -> float:
         """DP-CRP + marginal-likelihood log posterior
         (reference ``calculate_posterior``, src/dp-parallel-sampling.jl:458-470)."""
-        table = jax.tree.map(jnp.asarray, self.table)
-        return float(
-            _table_log_posterior(
+        fn = jax.jit(
+            lambda table: _table_log_posterior(
                 self.family, table, self.cfg.alpha, float(self.n_points)
             )
         )
+        return float(fn(self.table))
 
     def cluster_statistics(self, x: np.ndarray, labels: np.ndarray):
         """Average per-cluster log-likelihood and responsibility of ``x``
@@ -155,10 +158,14 @@ class DPMMModel:
         the correct Gaussian normalizer, see SURVEY.md L2 bug note)."""
         x = np.asarray(x, np.float32) - self.shift
         slots = self.active_slots
-        phi = jnp.asarray(np.asarray(self.table["params"]["phi"])[slots, 0])
-        feat = self.family.features(jnp.asarray(x))
-        ll = np.asarray(feat @ phi.T)  # [N, K]
-        resp = np.asarray(jax.nn.softmax(jnp.asarray(ll), axis=-1))
+        phi = np.asarray(self.table["params"]["phi"])[slots, 0]
+        ll = np.asarray(
+            jax.jit(lambda xs, ph: self.family.features(xs) @ ph.T)(
+                jnp.asarray(x), jnp.asarray(phi)
+            )
+        )  # [N, K]
+        z = np.exp(ll - ll.max(axis=-1, keepdims=True))
+        resp = z / z.sum(axis=-1, keepdims=True)
         labels = np.asarray(labels)
         avg_ll = np.zeros(len(slots))
         avg_prob = np.zeros(len(slots))

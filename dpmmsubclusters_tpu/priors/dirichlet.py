@@ -24,18 +24,21 @@ class MultinomialFamily:
 
     # ---- shapes -----------------------------------------------------------
     def feature_dim(self, d: int) -> int:
-        return d
+        return 1 + d
 
     def stat_dim(self, d: int) -> int:
         return 1 + d
 
     # ---- per-point linear maps -------------------------------------------
     def features(self, x: jax.Array) -> jax.Array:
-        return x
-
-    def stat_features(self, x: jax.Array) -> jax.Array:
+        """[N, D] -> [N, 1 + D]: rows [1, x] -- shared by the ll matmul
+        (phi = [0, log p]) and the statistics reduction."""
         n = x.shape[0]
         return jnp.concatenate([jnp.ones((n, 1), x.dtype), x], axis=1)
+
+    def stat_features(self, x: jax.Array) -> jax.Array:
+        """Alias: statistics rows ARE the feature rows (shared layout)."""
+        return self.features(x)
 
     # ---- sufficient statistics -------------------------------------------
     def empty_stats(self, batch_shape: tuple, d: int):
@@ -76,7 +79,8 @@ class MultinomialFamily:
         g = jnp.maximum(g, 1e-37)
         log_g = jnp.log(g)
         log_p = log_g - jax.scipy.special.logsumexp(log_g, axis=-1, keepdims=True)
-        return {"phi": log_p, "log_p": log_p}
+        zero = jnp.zeros(log_p.shape[:-1] + (1,), log_p.dtype)
+        return {"phi": jnp.concatenate([zero, log_p], axis=-1), "log_p": log_p}
 
     # ---- prediction -------------------------------------------------------
     def posterior_predictive(self, x: jax.Array, hyper) -> jax.Array:

@@ -41,29 +41,31 @@ class GaussianFamily:
 
     # ---- shapes -----------------------------------------------------------
     def feature_dim(self, d: int) -> int:
-        return d * d + d + 1
+        return 1 + d + d * d
 
     def stat_dim(self, d: int) -> int:
         return 1 + d + d * d
 
     # ---- per-point linear maps -------------------------------------------
     def features(self, x: jax.Array) -> jax.Array:
-        """[N, D] -> [N, D^2 + D + 1]: rows [vec(x x^T), x, 1].
+        """[N, D] -> [N, 1 + D + D^2]: rows [1, x, vec(x x^T)].
 
-        ``ll = feat @ phi`` with ``phi = [-0.5 vec(P), P mu, c]`` gives the
-        Gaussian log-density; one matmul covers all slots and sub-clusters.
+        ONE feature map serves both hot uses (same layout as the flattened
+        sufficient statistics):
+          * ``ll = feat @ phi`` with ``phi = [c, P mu, -0.5 vec(P)]`` is the
+            Gaussian log-density -- one matmul covers every slot and
+            sub-cluster at once;
+          * ``onehot(label, sub)^T @ feat`` is the per-(slot, side)
+            sufficient-statistics reduction.
         """
         n, d = x.shape
         xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
         ones = jnp.ones((n, 1), dtype=x.dtype)
-        return jnp.concatenate([xx, x, ones], axis=1)
+        return jnp.concatenate([ones, x, xx], axis=1)
 
     def stat_features(self, x: jax.Array) -> jax.Array:
-        """[N, D] -> [N, 1 + D + D^2]: rows [1, x, vec(x x^T)]."""
-        n, d = x.shape
-        xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
-        ones = jnp.ones((n, 1), dtype=x.dtype)
-        return jnp.concatenate([ones, x, xx], axis=1)
+        """Alias: statistics rows ARE the feature rows (shared layout)."""
+        return self.features(x)
 
     # ---- sufficient statistics -------------------------------------------
     def empty_stats(self, batch_shape: tuple, d: int):
@@ -175,9 +177,9 @@ class GaussianFamily:
         c = -0.5 * (d * LOG_2PI + logdet_sigma + quad)
         phi = jnp.concatenate(
             [
-                (-0.5 * prec).reshape(prec.shape[:-2] + (d * d,)),
-                h,
                 c[..., None],
+                h,
+                (-0.5 * prec).reshape(prec.shape[:-2] + (d * d,)),
             ],
             axis=-1,
         )

@@ -63,7 +63,7 @@ def assign_and_stats(
         kc = jax.random.fold_in(key, i)
         k1, k2 = jax.random.split(kc)
 
-        feat = family.features(xc)  # [C, F]
+        feat = family.features(xc)  # [C, F] -- shared by ll matmul AND stats
         ll3 = (feat @ phi_mat).reshape(xc.shape[0], k_slots, 3)
         ll3 = jnp.nan_to_num(ll3, nan=NEG_INF, posinf=NEG_INF, neginf=NEG_INF)
 
@@ -85,8 +85,7 @@ def assign_and_stats(
             oh[:, :, None] * jax.nn.one_hot(sub, 2, dtype=xc.dtype)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
         ohs = ohs * vc[:, None].astype(xc.dtype)
-        sfeat = family.stat_features(xc)  # [C, S]
-        acc = acc + (ohs.T @ sfeat).reshape(k_slots, 2, s)
+        acc = acc + (ohs.T @ feat).reshape(k_slots, 2, s)
         return (acc, i + 1), (labels, sub)
 
     acc0 = jnp.zeros((k_slots, 2, s), jnp.float32)

@@ -91,6 +91,44 @@ class DPMMEngine:
             )
         )
 
+        # Everything below is jitted as ONE program each: eager per-op
+        # dispatch is prohibitively slow on remote-compile backends.
+        from . import moves as moves_mod
+
+        rshard, dshard = replicated(self.mesh), data_sharding(self.mesh)
+
+        def _build_table(key, flat3, prior, outlier_prior):
+            d = (prior["m"] if "m" in prior else prior["alpha"]).shape[-1]
+            table = init_table(family, prior, outlier_prior, cfg, d)
+            stats = family.stats_from_flat(flat3, d)
+            table = compute_posteriors(family, {**table, "stats": stats})
+            # pre-sample params so the table pytree is structurally stable
+            # (mirrors init_first_clusters!'s sample_clusters! at
+            # src/dp-parallel-sampling.jl:76)
+            return moves_mod.sample_params_step(
+                key, table, cfg.alpha, cfg.outlier_mod, family
+            )
+
+        self._build_table = jax.jit(_build_table, out_shardings=rshard)
+
+        def _rand_assign(key, n_pad: int):
+            key, kl, ks, kp = jax.random.split(key, 4)
+            offset = 1 if cfg.outlier_mod > 0 else 0
+            labels = jax.random.randint(
+                kl, (n_pad,), offset, offset + cfg.init_clusters, jnp.int32
+            )
+            sub = jax.random.randint(ks, (n_pad,), 0, 2, jnp.int32)
+            return key, kp, labels, sub
+
+        # Outputs are born with their final shardings: a host
+        # device_get/device_put roundtrip is pathologically slow on
+        # tunneled remote backends.
+        self._rand_assign = jax.jit(
+            _rand_assign,
+            static_argnums=(1,),
+            out_shardings=(rshard, rshard, dshard, dshard),
+        )
+
     # -- data placement -----------------------------------------------------
     def pad_size(self, n: int) -> int:
         """Global padded row count: divisible by n_dev * chunk_size."""
@@ -123,41 +161,16 @@ class DPMMEngine:
         """
         cfg = self.cfg
         n_pad, d = points.shape
-        table = init_table(self.family, prior, outlier_prior, cfg, d)
 
-        key, kl, ks = jax.random.split(jnp.asarray(key), 3)
-        offset = 1 if cfg.outlier_mod > 0 else 0
-        ds = data_sharding(self.mesh)
-        if init_labels is None:
-            labels = jax.random.randint(
-                kl, (n_pad,), offset, offset + cfg.init_clusters, jnp.int32
-            )
-        else:
+        key, kp, labels, sublabels = self._rand_assign(jnp.asarray(key), n_pad)
+        if init_labels is not None:
+            offset = 1 if cfg.outlier_mod > 0 else 0
             lp = np.full((n_pad,), offset, np.int32)
             lp[: len(init_labels)] = np.asarray(init_labels, np.int32) + offset
-            labels = jnp.asarray(lp)
-        labels = jax.device_put(jax.device_get(labels), ds)
-        sublabels = jax.device_put(
-            jax.device_get(
-                jax.random.randint(ks, (n_pad,), 0, 2, jnp.int32)
-            ),
-            ds,
-        )
+            labels = jax.device_put(lp, data_sharding(self.mesh))
 
         flat3 = self._init_stats(points, valid, labels, sublabels)
-        stats = self.family.stats_from_flat(flat3, d)
-        table = compute_posteriors(self.family, {**table, "stats": stats})
-        # Pre-fill sampled params so the table pytree structure is stable
-        # across jitted steps (mirrors init_first_clusters!'s
-        # sample_clusters! at src/dp-parallel-sampling.jl:76).
-        from . import moves as moves_mod
-
-        key, kp = jax.random.split(key)
-        table = jax.jit(moves_mod.sample_params_step, static_argnums=(2, 3, 4))(
-            kp, table, cfg.alpha, cfg.outlier_mod, self.family
-        )
-        table = jax.device_put(table, replicated(self.mesh))
-        key = jax.device_put(jax.device_get(key), replicated(self.mesh))
+        table = self._build_table(kp, flat3, prior, outlier_prior)
         return DPMMState(table=table, labels=labels, sublabels=sublabels,
                          key=key, step=0)
 
@@ -212,7 +225,20 @@ def run_loop(
     verbose = cfg.verbose if verbose is None else verbose
     hist = IterStats.empty()
     max_k = cfg.resolved_max_clusters()
-    k_now = int(jnp.sum(state.table["active"]))
+    k_now = int(np.asarray(jax.device_get(state.table["active"])).sum())
+
+    # Per-iteration host syncs cost a full round trip on tunneled/remote
+    # backends; only pay for them when something host-side actually consumes
+    # per-iteration values (verbose prints, NMI vs ground truth, the
+    # max_clusters split gate, or a user callback).  Otherwise dispatch the
+    # whole loop asynchronously and fetch the metric history once at the end.
+    sync_each = (
+        verbose
+        or gt is not None
+        or callback is not None
+        or cfg.max_clusters is not None
+    )
+    metrics_buf = []
 
     for it in range(first_iter, iters):
         t0 = time.perf_counter()
@@ -221,25 +247,33 @@ def run_loop(
         state, metrics = engine.step(
             state, points, valid, n_total, final, no_more_splits
         )
-        k_now = int(metrics["k"])  # blocks: also our per-iter timing fence
-        dt = time.perf_counter() - t0
-
-        hist.k.append(k_now)
-        hist.log_posterior.append(float(metrics["log_posterior"]))
-        hist.times.append(dt)
-        if gt is not None:
-            from ..utils.metrics import nmi as nmi_fn
-
-            labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
-            hist.nmi.append(nmi_fn(gt, labels_h))
-        if verbose:
-            msg = (
-                f"iter {it + 1}: K={k_now} "
-                f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
-            )
+        if sync_each:
+            k_now = int(metrics["k"])  # blocks: per-iter timing fence
+            dt = time.perf_counter() - t0
+            hist.k.append(k_now)
+            hist.log_posterior.append(float(metrics["log_posterior"]))
+            hist.times.append(dt)
             if gt is not None:
-                msg += f" nmi={hist.nmi[-1]:.3f}"
-            print(msg)
-        if callback is not None:
-            callback(it, state, metrics)
+                from ..utils.metrics import nmi as nmi_fn
+
+                labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
+                hist.nmi.append(nmi_fn(gt, labels_h))
+            if verbose:
+                msg = (
+                    f"iter {it + 1}: K={k_now} "
+                    f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
+                )
+                if gt is not None:
+                    msg += f" nmi={hist.nmi[-1]:.3f}"
+                print(msg)
+            if callback is not None:
+                callback(it, state, metrics)
+        else:
+            metrics_buf.append(metrics)
+            hist.times.append(time.perf_counter() - t0)  # dispatch wall time
+
+    if metrics_buf:
+        fetched = jax.device_get(metrics_buf)
+        hist.k.extend(int(m["k"]) for m in fetched)
+        hist.log_posterior.extend(float(m["log_posterior"]) for m in fetched)
     return state, hist

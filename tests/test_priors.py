@@ -108,7 +108,7 @@ def test_gaussian_feature_ll_matches_scipy(rng):
 
     h = prec @ mu
     c = -0.5 * (d * np.log(2 * np.pi) + logdet + mu @ prec @ mu)
-    phi = np.concatenate([(-0.5 * prec).ravel(), h, [c]]).astype(np.float32)
+    phi = np.concatenate([[c], h, (-0.5 * prec).ravel()]).astype(np.float32)
     feat = np.asarray(GAUSSIAN.features(jnp.asarray(x)))
     got = feat @ phi
     want = st.multivariate_normal(mu, sigma).logpdf(x)
@@ -210,7 +210,8 @@ def test_multinomial_ll_is_dot(rng):
     x = rng.integers(0, 5, size=(20, d)).astype(np.float32)
     logp = np.log(np.full(d, 1.0 / d, np.float32))
     feat = np.asarray(MULTINOMIAL.features(jnp.asarray(x)))
-    np.testing.assert_allclose(feat @ logp, x @ logp, rtol=1e-6)
+    phi = np.concatenate([[0.0], logp]).astype(np.float32)
+    np.testing.assert_allclose(feat @ phi, x @ logp, rtol=1e-6)
 
 
 def test_dirichlet_sampler_mean():
