@@ -34,6 +34,7 @@ class DPMMConfig:
     chunk_size: int = 16384         # points per on-chip tile of the sweep
     center_data: bool = True        # subtract global mean; shifts prior mean
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
+    fused_block: int = 16           # sweeps fused per dispatch (async mode)
 
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None

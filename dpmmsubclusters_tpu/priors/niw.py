@@ -41,31 +41,64 @@ class GaussianFamily:
 
     # ---- shapes -----------------------------------------------------------
     def feature_dim(self, d: int) -> int:
-        return 1 + d + d * d
+        return 1 + d + (d * (d + 1)) // 2
 
     def stat_dim(self, d: int) -> int:
-        return 1 + d + d * d
+        return self.feature_dim(d)
+
+    @staticmethod
+    def _triu(d: int):
+        import numpy as _np
+
+        return _np.triu_indices(d)
 
     # ---- per-point linear maps -------------------------------------------
     def features(self, x: jax.Array) -> jax.Array:
-        """[N, D] -> [N, 1 + D + D^2]: rows [1, x, vec(x x^T)].
+        """[N, D] -> [N, 1 + D + D(D+1)/2]: rows [1, x, packed(x x^T)].
 
-        ONE feature map serves both hot uses (same layout as the flattened
-        sufficient statistics):
-          * ``ll = feat @ phi`` with ``phi = [c, P mu, -0.5 vec(P)]`` is the
-            Gaussian log-density -- one matmul covers every slot and
-            sub-cluster at once;
+        ``x x^T`` is symmetric, so only the upper triangle is materialized
+        (row-major triu order) -- half the FLOPs/bytes of the naive D^2
+        layout.  ONE feature map serves both hot uses:
+          * ``ll = feat @ phi`` with phi = [c, P mu, packed(-0.5 P) with
+            doubled off-diagonals] is the Gaussian log-density;
           * ``onehot(label, sub)^T @ feat`` is the per-(slot, side)
-            sufficient-statistics reduction.
+            sufficient-statistics reduction (suff stats store the packed
+            upper triangle of sum_xx).
         """
         n, d = x.shape
-        xx = (x[:, :, None] * x[:, None, :]).reshape(n, d * d)
         ones = jnp.ones((n, 1), dtype=x.dtype)
-        return jnp.concatenate([ones, x, xx], axis=1)
+        # upper triangle by rows: j-th segment is x_j * x_{j:} (width d - j)
+        segs = [x[:, j : j + 1] * x[:, j:] for j in range(d)]
+        return jnp.concatenate([ones, x] + segs, axis=1)
 
     def stat_features(self, x: jax.Array) -> jax.Array:
         """Alias: statistics rows ARE the feature rows (shared layout)."""
         return self.features(x)
+
+    def pack_sym(self, mat: jax.Array, double_offdiag: bool) -> jax.Array:
+        """[..., D, D] symmetric -> packed [..., D(D+1)/2] (triu row-major).
+
+        ``double_offdiag=True`` packs a *coefficient* vector: off-diagonal
+        entries doubled so that ``packed(coeff) . packed(xx)`` equals the
+        full bilinear form ``sum_ij coeff_ij x_i x_j``.
+        """
+        d = mat.shape[-1]
+        iu, ju = self._triu(d)
+        out = mat[..., iu, ju]
+        if double_offdiag:
+            scale = jnp.where(jnp.asarray(iu == ju), 1.0, 2.0).astype(mat.dtype)
+            out = out * scale
+        return out
+
+    def unpack_sym(self, packed: jax.Array, d: int) -> jax.Array:
+        """packed [..., D(D+1)/2] -> full symmetric [..., D, D]."""
+        iu, ju = self._triu(d)
+        full = jnp.zeros(packed.shape[:-1] + (d, d), packed.dtype)
+        full = full.at[..., iu, ju].set(packed)
+        diag = jnp.zeros(packed.shape[:-1] + (d, d), packed.dtype).at[
+            ..., jnp.arange(d), jnp.arange(d)
+        ].set(full[..., jnp.arange(d), jnp.arange(d)])
+        return full + jnp.swapaxes(full, -1, -2) - diag
 
     # ---- sufficient statistics -------------------------------------------
     def empty_stats(self, batch_shape: tuple, d: int):
@@ -79,16 +112,15 @@ class GaussianFamily:
         return {
             "n": flat[..., 0],
             "sum_x": flat[..., 1 : 1 + d],
-            "sum_xx": flat[..., 1 + d :].reshape(flat.shape[:-1] + (d, d)),
+            "sum_xx": self.unpack_sym(flat[..., 1 + d :], d),
         }
 
     def stats_to_flat(self, stats) -> jax.Array:
-        d = stats["sum_x"].shape[-1]
         return jnp.concatenate(
             [
                 stats["n"][..., None],
                 stats["sum_x"],
-                stats["sum_xx"].reshape(stats["sum_xx"].shape[:-2] + (d * d,)),
+                self.pack_sym(stats["sum_xx"], double_offdiag=False),
             ],
             axis=-1,
         )
@@ -179,7 +211,7 @@ class GaussianFamily:
             [
                 c[..., None],
                 h,
-                (-0.5 * prec).reshape(prec.shape[:-2] + (d * d,)),
+                self.pack_sym(-0.5 * prec, double_offdiag=True),
             ],
             axis=-1,
         )

@@ -72,6 +72,47 @@ class DPMMEngine:
             donate_argnums=(0, 1, 2, 3),
         )
 
+        # Fused multi-sweep block: a lax.scan over sweeps inside ONE compiled
+        # program.  Replaces per-iteration dispatch (each a host->device
+        # round trip -- expensive over a tunnel, and the reference's
+        # per-iteration RPC fan-out, src/dp-parallel-sampling.jl:351-401)
+        # with one dispatch per block.  `finals`/`no_more_splits` arrive as
+        # per-sweep bool arrays computed on host; the max_clusters cap is
+        # enforced in-scan from the live table.
+        max_k_cap = cfg.max_clusters
+
+        def sweep_block(table, labels, sublabels, key, points, valid,
+                        n_total, finals, nms):
+            from .table import active_count as _ac
+
+            def body(carry, fn):
+                table, labels, sublabels, key = carry
+                f, nm = fn
+                if max_k_cap is not None:
+                    nm = nm | (_ac(table) >= max_k_cap)
+                table, labels, sublabels, key, metrics = sweep(
+                    table, labels, sublabels, key, points, valid, n_total,
+                    f, nm,
+                )
+                return (table, labels, sublabels, key), metrics
+
+            (table, labels, sublabels, key), metrics = jax.lax.scan(
+                body, (table, labels, sublabels, key), (finals, nms)
+            )
+            return table, labels, sublabels, key, metrics
+
+        self._step_block = jax.jit(
+            shard_map(
+                sweep_block,
+                mesh=self.mesh,
+                in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
+                          rspec, rspec, rspec),
+                out_specs=(rspec, dspec, dspec, rspec, rspec),
+                check_rep=False,
+            ),
+            donate_argnums=(0, 1, 2, 3),
+        )
+
         k_max, chunk = cfg.k_max, cfg.chunk_size
 
         def _stats(points, valid, labels, sublabels):
@@ -90,6 +131,35 @@ class DPMMEngine:
                 check_rep=False,
             )
         )
+
+        if cfg.smart_splits:
+            from . import smart as smart_mod
+
+            def _smart(points, valid, labels, sublabels, flat3):
+                d_ = points.shape[-1]
+                stats = family.stats_from_flat(flat3, d_)
+                stats_w = jax.tree.map(lambda a: a[:, 0], stats)
+                sub = smart_mod.smart_sublabels(
+                    points, valid, labels, sublabels, stats_w,
+                    stats_w["n"] > 0, cfg.max_split_iter, DATA_AXIS,
+                )
+                stats_lr = jax.lax.psum(
+                    assign_mod.stats_only(
+                        points, valid, labels, sub, k_max, family, chunk
+                    ),
+                    DATA_AXIS,
+                )
+                return sub, assign_mod.lr_to_full(stats_lr)
+
+            self._smart_init = jax.jit(
+                shard_map(
+                    _smart,
+                    mesh=self.mesh,
+                    in_specs=(dspec, dspec, dspec, dspec, rspec),
+                    out_specs=(dspec, rspec),
+                    check_rep=False,
+                )
+            )
 
         # Everything below is jitted as ONE program each: eager per-op
         # dispatch is prohibitively slow on remote-compile backends.
@@ -170,6 +240,12 @@ class DPMMEngine:
             labels = jax.device_put(lp, data_sharding(self.mesh))
 
         flat3 = self._init_stats(points, valid, labels, sublabels)
+        if cfg.smart_splits:
+            # PCA + 2-means sub-label init of the first clusters (reference
+            # init_first_clusters!, src/dp-parallel-sampling.jl:71-74)
+            sublabels, flat3 = self._smart_init(
+                points, valid, labels, sublabels, flat3
+            )
         table = self._build_table(kp, flat3, prior, outlier_prior)
         return DPMMState(table=table, labels=labels, sublabels=sublabels,
                          key=key, step=0)
@@ -186,6 +262,21 @@ class DPMMEngine:
         return (
             DPMMState(table=table, labels=labels, sublabels=sublabels,
                       key=key, step=state.step + 1),
+            metrics,
+        )
+
+    def step_block(self, state: DPMMState, points, valid, n_total,
+                   finals: np.ndarray, no_more_splits: np.ndarray):
+        """Run ``len(finals)`` fused sweeps in one dispatch; metrics arrive
+        stacked [B]."""
+        table, labels, sublabels, key, metrics = self._step_block(
+            state.table, state.labels, state.sublabels, state.key,
+            points, valid, n_total,
+            jnp.asarray(finals), jnp.asarray(no_more_splits),
+        )
+        return (
+            DPMMState(table=table, labels=labels, sublabels=sublabels,
+                      key=key, step=state.step + len(finals)),
             metrics,
         )
 
@@ -229,16 +320,33 @@ def run_loop(
 
     # Per-iteration host syncs cost a full round trip on tunneled/remote
     # backends; only pay for them when something host-side actually consumes
-    # per-iteration values (verbose prints, NMI vs ground truth, the
-    # max_clusters split gate, or a user callback).  Otherwise dispatch the
-    # whole loop asynchronously and fetch the metric history once at the end.
-    sync_each = (
-        verbose
-        or gt is not None
-        or callback is not None
-        or cfg.max_clusters is not None
-    )
-    metrics_buf = []
+    # per-iteration values (verbose prints, NMI vs ground truth, or a user
+    # callback).  Otherwise run fused multi-sweep blocks -- one dispatch per
+    # `fused_block` sweeps -- and fetch the metric history at the end.
+    # (max_clusters is enforced in-scan inside the fused block.)
+    sync_each = verbose or gt is not None or callback is not None
+
+    if not sync_each:
+        block = max(1, cfg.fused_block)
+        metrics_buf = []
+        it = first_iter
+        while it < iters:
+            b = min(block, iters - it)
+            rng_it = np.arange(it, it + b)
+            finals = rng_it >= iters - cfg.argmax_sample_stop
+            nms = rng_it >= iters - cfg.split_stop
+            t0 = time.perf_counter()
+            state, metrics = engine.step_block(
+                state, points, valid, n_total, finals, nms
+            )
+            metrics_buf.append(metrics)
+            hist.times.extend([(time.perf_counter() - t0) / b] * b)
+            it += b
+        fetched = jax.device_get(metrics_buf)
+        for m in fetched:
+            hist.k.extend(np.asarray(m["k"]).tolist())
+            hist.log_posterior.extend(np.asarray(m["log_posterior"]).tolist())
+        return state, hist
 
     for it in range(first_iter, iters):
         t0 = time.perf_counter()
@@ -247,33 +355,24 @@ def run_loop(
         state, metrics = engine.step(
             state, points, valid, n_total, final, no_more_splits
         )
-        if sync_each:
-            k_now = int(metrics["k"])  # blocks: per-iter timing fence
-            dt = time.perf_counter() - t0
-            hist.k.append(k_now)
-            hist.log_posterior.append(float(metrics["log_posterior"]))
-            hist.times.append(dt)
+        k_now = int(metrics["k"])  # blocks: per-iter timing fence
+        dt = time.perf_counter() - t0
+        hist.k.append(k_now)
+        hist.log_posterior.append(float(metrics["log_posterior"]))
+        hist.times.append(dt)
+        if gt is not None:
+            from ..utils.metrics import nmi as nmi_fn
+
+            labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
+            hist.nmi.append(nmi_fn(gt, labels_h))
+        if verbose:
+            msg = (
+                f"iter {it + 1}: K={k_now} "
+                f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
+            )
             if gt is not None:
-                from ..utils.metrics import nmi as nmi_fn
-
-                labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
-                hist.nmi.append(nmi_fn(gt, labels_h))
-            if verbose:
-                msg = (
-                    f"iter {it + 1}: K={k_now} "
-                    f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
-                )
-                if gt is not None:
-                    msg += f" nmi={hist.nmi[-1]:.3f}"
-                print(msg)
-            if callback is not None:
-                callback(it, state, metrics)
-        else:
-            metrics_buf.append(metrics)
-            hist.times.append(time.perf_counter() - t0)  # dispatch wall time
-
-    if metrics_buf:
-        fetched = jax.device_get(metrics_buf)
-        hist.k.extend(int(m["k"]) for m in fetched)
-        hist.log_posterior.extend(float(m["log_posterior"]) for m in fetched)
+                msg += f" nmi={hist.nmi[-1]:.3f}"
+            print(msg)
+        if callback is not None:
+            callback(it, state, metrics)
     return state, hist

@@ -202,7 +202,7 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final, fami
         "hist": hist,
         "splittable": splittable,
     }
-    return table, labels, sublabels, jnp.any(accept)
+    return table, labels, sublabels, jnp.any(accept), touched
 
 
 def merge_move(key, table, labels, sublabels, alpha: float, final, family):

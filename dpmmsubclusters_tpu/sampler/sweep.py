@@ -31,6 +31,7 @@ import jax.numpy as jnp
 
 from . import assign as assign_mod
 from . import moves
+from . import smart
 from .table import compute_posteriors, log_posterior, active_count
 
 NEG_INF = -jnp.inf
@@ -113,9 +114,25 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         # G: split + merge moves
         def do_moves(args):
             table, labels, sublabels = args
-            table, labels, sublabels, any_split = moves.split_move(
+            table, labels, sublabels, any_split, touched = moves.split_move(
                 kg1, kg_pts, table, labels, sublabels, alpha, final, family
             )
+            if cfg.smart_splits:
+                # PCA + 2-means sub-label init of the affected slots
+                # (reference check_and_split! -> smart_cluster_init!,
+                # src/local_clusters_actions.jl:374-378)
+                def do_smart(args):
+                    t_, l_, s_ = args
+                    stats_w = jax.tree.map(lambda a: a[:, 0], t_["stats"])
+                    return smart.smart_sublabels(
+                        points, valid, l_, s_, stats_w, touched,
+                        cfg.max_split_iter, axis_name,
+                    )
+
+                sublabels = jax.lax.cond(
+                    any_split, do_smart, lambda a: a[2],
+                    (table, labels, sublabels),
+                )
             table = jax.lax.cond(
                 any_split, recompute, keep, (table, labels, sublabels)
             )

@@ -108,7 +108,10 @@ def test_gaussian_feature_ll_matches_scipy(rng):
 
     h = prec @ mu
     c = -0.5 * (d * np.log(2 * np.pi) + logdet + mu @ prec @ mu)
-    phi = np.concatenate([[c], h, (-0.5 * prec).ravel()]).astype(np.float32)
+    packed = np.asarray(
+        GAUSSIAN.pack_sym(jnp.asarray(-0.5 * prec), double_offdiag=True)
+    )
+    phi = np.concatenate([[c], h, packed]).astype(np.float32)
     feat = np.asarray(GAUSSIAN.features(jnp.asarray(x)))
     got = feat @ phi
     want = st.multivariate_normal(mu, sigma).logpdf(x)
@@ -221,3 +224,20 @@ def test_dirichlet_sampler_mean():
     mean = np.asarray(w.mean(0))
     np.testing.assert_allclose(mean[:3], np.array([1, 4, 10]) / 15.0, atol=0.02)
     assert mean[3] == 0.0
+
+
+def test_sym_pack_roundtrip(rng):
+    d = 4
+    m = rng.normal(size=(5, d, d))
+    m = (m + m.swapaxes(-1, -2)).astype(np.float32)
+    packed = GAUSSIAN.pack_sym(jnp.asarray(m), double_offdiag=False)
+    assert packed.shape == (5, d * (d + 1) // 2)
+    full = np.asarray(GAUSSIAN.unpack_sym(packed, d))
+    np.testing.assert_allclose(full, m, rtol=1e-6)
+    # doubled-offdiag packing computes the full bilinear form
+    x = rng.normal(size=(d,)).astype(np.float32)
+    coeff = GAUSSIAN.pack_sym(jnp.asarray(m), double_offdiag=True)
+    xx = GAUSSIAN.pack_sym(jnp.asarray(np.outer(x, x)), double_offdiag=False)
+    got = np.asarray(coeff) @ np.asarray(xx).T
+    want = np.einsum("bij,i,j->b", m, x, x)
+    np.testing.assert_allclose(got, want, rtol=1e-4)
