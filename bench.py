@@ -8,8 +8,8 @@ strongest in-repo evidence -- the image-segmentation run (446k pts, D=5,
 K=26, 0.28-0.45 s/iter on 4 worker procs => ~1.1M pts/s; BASELINE.md) -- by
 the sampler's O(K * D^2) per-point cost to K=128, D=32 gives
   1.1e6 * (26*25) / (128*1024) ~= 5.5e3 pts/s on 4 procs
-  => ~4.4e4 pts/s on a 32-core host (8x procs, sublinear scaling per
-     docs/src/perf.md; we credit linear to be conservative).
+  => ~4.4e4 pts/s on a 32-core host (8x procs; we credit linear scaling to
+     be conservative -- the reference reports sublinear, docs/src/perf.md).
 BASELINE_PTS_PER_S below is that 32-core estimate; vs_baseline > 10 meets
 the north-star (>=10x a 32-core Julia host, BASELINE.md).
 """
@@ -23,6 +23,11 @@ import numpy as np
 BASELINE_PTS_PER_S = 4.4e4
 
 SMALL = os.environ.get("BENCH_SMALL", "") not in ("", "0")
+T0 = time.time()
+
+
+def log(msg):
+    print(f"[bench {time.time() - T0:6.1f}s] {msg}", file=sys.stderr, flush=True)
 
 
 def main():
@@ -34,45 +39,44 @@ def main():
     from dpmmsubclusters_tpu.sampler.driver import DPMMEngine
 
     if SMALL:
-        n, d, k_true, k_max, warmup, timed = 100_000, 32, 20, 32, 3, 5
+        n, d, k_true, k_max, warmup, timed = 100_000, 32, 20, 32, 3, 10
     else:
-        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 10, 20
+        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 3, 10
 
-    print(f"devices: {jax.devices()}", file=sys.stderr)
+    log(f"devices: {jax.devices()}")
 
     # synthetic mixture (separated means, unit covs) -- gen speed irrelevant
     rng = np.random.default_rng(0)
     means = rng.standard_normal((k_true, d)).astype(np.float32) * 8.0
     labels = rng.integers(0, k_true, size=n)
     x = means[labels] + rng.standard_normal((n, d)).astype(np.float32)
+    log("data generated")
 
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
                      verbose=False)
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
     points, valid, n_total = engine.shard_points(x - x.mean(0))
+    jax.block_until_ready(points)
+    log("points sharded (h2d done)")
     prior = GAUSSIAN.default_prior(d)
     state = engine.init_state(jax.random.PRNGKey(0), points, valid, prior)
+    jax.block_until_ready(state.table["log_weights"])
+    log("init done")
 
-    for _ in range(warmup):
-        state, metrics = engine.step(state, points, valid, n_total,
-                                     final=False, no_more_splits=False)
-    jax.block_until_ready(metrics["k"])
-    k_active = int(metrics["k"])
+    off = np.zeros(warmup, bool)
+    state, metrics = engine.step_block(state, points, valid, n_total, off, off)
+    k_active = int(metrics["k"][-1])
+    log(f"warmup block done (compile): K={k_active}")
 
+    off = np.zeros(timed, bool)
     t0 = time.perf_counter()
-    for _ in range(timed):
-        state, metrics = engine.step(state, points, valid, n_total,
-                                     final=False, no_more_splits=False)
-    jax.block_until_ready(metrics["k"])
+    state, metrics = engine.step_block(state, points, valid, n_total, off, off)
+    k_final = int(metrics["k"][-1])
     dt = time.perf_counter() - t0
 
     pts_per_s = n * timed / dt
-    print(
-        f"K after warmup: {k_active}, final K: {int(metrics['k'])}, "
-        f"{dt / timed * 1e3:.1f} ms/sweep",
-        file=sys.stderr,
-    )
+    log(f"timed: {dt / timed * 1e3:.1f} ms/sweep, K={k_final}")
     print(json.dumps({
         "metric": "gibbs_sweep_throughput_1Mx32d",
         "value": round(pts_per_s, 1),

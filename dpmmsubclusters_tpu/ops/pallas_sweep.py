@@ -1,0 +1,223 @@
+"""Fused Pallas TPU kernel for the sweep hot path.
+
+One kernel fuses the three hot loops of the reference
+(per-point x per-cluster log-likelihood ``src/distributions/mv_gaussian.jl:21-25``,
+row-wise categorical sampling ``src/utils.jl:19-31``, per-cluster
+suff-stat GEMMs ``src/priors/niw.jl:42-51``) into a single pass per point
+tile, entirely in VMEM:
+
+  per tile of T points:
+    1. build the feature rows  feat = [1, x, packed(xx^T)]   (VPU)
+    2. ll = feat @ phi                [T, 3K]                (MXU)
+    3. Gumbel-max label draw from the whole-columns + log-weights
+       (on-chip PRNG -- pltpu.prng_random_bits)
+    4. 2-way Gumbel sub-label draw from the point's own slot's l/r columns
+       (one-hot contraction, no gathers)
+    5. stats += [oh*(1-side) | oh*side]^T @ feat  [2K, F]    (MXU)
+
+The [N, 3K] likelihood matrix and the [N, F] feature matrix never touch HBM:
+traffic per sweep is x (read) + labels/sublabels (write) + O(K*F) in/out.
+The jnp path in :mod:`..sampler.assign` is the portable reference
+implementation; this kernel must match it statistically (same sampler, a
+different PRNG stream).
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+NEG_INF = float("-inf")
+
+
+def _fmix32(x):
+    """murmur3 finalizer: full avalanche on uint32."""
+    x = x ^ (x >> 16)
+    x = x * jnp.uint32(0x85EBCA6B)
+    x = x ^ (x >> 13)
+    x = x * jnp.uint32(0xC2B2AE35)
+    x = x ^ (x >> 16)
+    return x
+
+
+def _gumbel(seed_u32, shape):
+    """Counter-based Gumbel noise: hash(seed, position) -> uniform -> gumbel.
+
+    Stateless and portable (identical bits on hardware and in the Pallas
+    interpreter -- pltpu.prng_random_bits is a zero stub when interpreted).
+    Two murmur3 finalizer rounds with seed injection give full avalanche.
+    """
+    t, w = shape
+    ctr = (
+        jax.lax.broadcasted_iota(jnp.uint32, shape, 0) * jnp.uint32(w)
+        + jax.lax.broadcasted_iota(jnp.uint32, shape, 1)
+    )
+    bits = _fmix32(_fmix32(ctr + seed_u32) ^ (seed_u32 * jnp.uint32(0x9E3779B9)))
+    # Mosaic has no uint32->f32 cast; >>8 keeps 24 bits so the int32
+    # bitcast is non-negative and casts exactly.
+    bits24 = pltpu.bitcast(bits >> 8, jnp.int32)
+    u = bits24.astype(jnp.float32) * (1.0 / (1 << 24)) + 1e-12
+    return -jnp.log(-jnp.log(u))
+
+
+def _feature_tile(x, d: int):
+    """[T, D] -> [T, 1 + D + D(D+1)/2] rows [1, x, packed(xx^T)] (triu
+    row-major), matching GaussianFamily.features."""
+    t = x.shape[0]
+    ones = jnp.ones((t, 1), x.dtype)
+    segs = [x[:, j : j + 1] * x[:, j:] for j in range(d)]
+    return jnp.concatenate([ones, x] + segs, axis=1)
+
+
+def _multinomial_feature_tile(x, d: int):
+    t = x.shape[0]
+    return jnp.concatenate([jnp.ones((t, 1), x.dtype), x], axis=1)
+
+
+def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
+            valid_ref, labels_ref, sub_ref, stats_ref, *, k_slots: int,
+            feat_fn, d: int):
+    i = pl.program_id(0)
+    # per-tile seed: mix the host seed with the tile index
+    seed_u32 = _fmix32(
+        jnp.uint32(seed_ref[0]) + jnp.uint32(i) * jnp.uint32(0x9E3779B9)
+    )
+
+    x = x_ref[:]                      # [T, D]
+    t = x.shape[0]
+    feat = feat_fn(x, d)              # [T, F]
+
+    ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32)
+    # columns: [whole K | left K | right K]
+    ll_w = ll[:, :k_slots]
+    ll_l = ll[:, k_slots : 2 * k_slots]
+    ll_r = ll[:, 2 * k_slots :]
+
+    hard = hard_ref[0]
+    noise_scale = jnp.where(hard > 0, 0.0, 1.0)
+
+    # NOTE: everything stays >= 2-D -- Mosaic fails to legalize 1-D int
+    # vector stores.
+    logits = ll_w + logw_ref[0, :][None, :]
+    logits = jnp.where(jnp.isnan(logits), NEG_INF, logits)
+    g = _gumbel(seed_u32, (t, k_slots)) * noise_scale
+    labels = jnp.argmax(logits + g, axis=-1, keepdims=True).astype(
+        jnp.int32
+    )                                                            # [T, 1]
+
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
+    oh = (labels == col).astype(jnp.float32)                     # [T, K]
+
+    pick_l = jnp.sum(oh * (ll_l + loglrw_ref[0, :][None, :]), axis=-1,
+                     keepdims=True)                              # [T, 1]
+    pick_r = jnp.sum(oh * (ll_r + loglrw_ref[1, :][None, :]), axis=-1,
+                     keepdims=True)
+    g2 = _gumbel(seed_u32 ^ jnp.uint32(0xA5A5A5A5), (t, 2))
+    side = (
+        pick_r + g2[:, 1:2] * noise_scale + 1e-30
+        > pick_l + g2[:, 0:1] * noise_scale
+    ).astype(jnp.int32)                                          # [T, 1]
+
+    labels_ref[:] = labels
+    sub_ref[:] = side
+
+    v = valid_ref[:].astype(jnp.float32)                         # [T, 1]
+    s_f = side.astype(jnp.float32)
+    wl = oh * ((1.0 - s_f) * v)                                  # [T, K]
+    wr = oh * (s_f * v)
+    ohs = jnp.concatenate([wl, wr], axis=1)                      # [T, 2K]
+    contrib = jax.lax.dot_general(
+        ohs, feat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )                                                            # [2K, F]
+
+    @pl.when(i == 0)
+    def _():
+        stats_ref[:] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        stats_ref[:] = stats_ref[:] + contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_slots", "family_name", "tile", "interpret"),
+)
+def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
+                 k_slots: int, family_name: str, tile: int = 512,
+                 interpret: bool = False):
+    """Fused assignment + statistics pass.
+
+    Args:
+      seed:    i32 scalar (folds the sweep's PRNG key + device index).
+      x:       [N, D] f32, N % tile == 0.
+      valid:   [N] bool.
+      phi_mat: [F, 3K] natural params, columns [whole | left | right].
+      log_w:   [K] mixture log-weights (-inf inactive).
+      log_lrw: [2, K] sub-cluster log-weights rows [left, right].
+      hard:    i32 scalar; >0 = argmax labels.
+
+    Returns (labels i32[N], sublabels i32[N], stats f32[2K, F] with rows
+    [left K | right K]).
+    """
+    n, d = x.shape
+    f, threek = phi_mat.shape
+    assert threek == 3 * k_slots
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+    feat_fn = (
+        _feature_tile if family_name == "gaussian"
+        else _multinomial_feature_tile
+    )
+
+    kernel = functools.partial(
+        _kernel, k_slots=k_slots, feat_fn=feat_fn, d=d
+    )
+    labels, sub, stats = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # hard
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # x
+            pl.BlockSpec((f, threek), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # phi
+            pl.BlockSpec((1, k_slots), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # log_w
+            pl.BlockSpec((2, k_slots), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # log_lrw
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # valid
+        ],
+        out_specs=[
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # labels
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),             # sublabels
+            pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),             # stats acc
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32),
+        ],
+        # CPU testing runs the TPU interpreter (the generic interpreter has
+        # no lowering for the pltpu PRNG primitives).
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.asarray(hard, jnp.int32).reshape(1),
+        x,
+        phi_mat,
+        log_w.reshape(1, -1),
+        log_lrw,
+        valid.reshape(n, 1),
+    )
+    return labels.reshape(n), sub.reshape(n), stats

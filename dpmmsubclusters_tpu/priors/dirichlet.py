@@ -71,6 +71,21 @@ class MultinomialFamily:
         )
         return jnp.where(valid, out, 0.0)
 
+    def log_marginal_pairwise(self, prior, stats, mask) -> jax.Array:
+        """[K, K] log marginal likelihood of every merged pair (i, j) under
+        prior_i (counterpart of the NIW version; lgamma sums only)."""
+        sx = stats["sum_x"][:, None, :] + stats["sum_x"][None, :, :]
+        n_m = stats["n"][:, None] + stats["n"][None, :]
+        a0 = prior["alpha"][:, None, :]
+        a1 = a0 + sx
+        out = (
+            gammaln(jnp.sum(a0, axis=-1))
+            - gammaln(jnp.sum(a1, axis=-1))
+            + jnp.sum(gammaln(a1) - gammaln(a0), axis=-1)
+        )
+        pair_mask = mask[:, None] & mask[None, :] & (n_m > 0)
+        return jnp.where(pair_mask, out, 0.0)
+
     # ---- sampling ---------------------------------------------------------
     def sample_params(self, key, hyper, mask):
         """log p ~ log Dirichlet(alpha): normalized log-Gamma draws."""

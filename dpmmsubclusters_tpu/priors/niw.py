@@ -185,6 +185,54 @@ class GaussianFamily:
         )
         return jnp.where(valid, out, 0.0)
 
+    def log_marginal_pairwise(self, prior, stats, mask) -> jax.Array:
+        """[K, K] log marginal likelihood of every merged pair (i, j).
+
+        Equivalent to calling :meth:`calc_posterior` + :meth:`log_marginal`
+        per pair (the reference's should_merge!, src/shared_actions.jl:21-38,
+        with prior_i), but prior-only terms (prior Cholesky, prior
+        multivariate gamma) are computed per-slot instead of per-pair --
+        only the merged-posterior Cholesky is O(K^2).
+        """
+        d = prior["m"].shape[-1]
+        n_m = stats["n"][:, None] + stats["n"][None, :]          # [K, K]
+        sx = stats["sum_x"][:, None, :] + stats["sum_x"][None, :, :]
+        sxx = stats["sum_xx"][:, None] + stats["sum_xx"][None, :]
+
+        k0 = prior["kappa"][:, None]                              # [K, 1]
+        nu0 = prior["nu"][:, None]
+        m0 = prior["m"][:, None, :]                               # [K, 1, D]
+        kappa1 = k0 + n_m
+        nu1 = nu0 + n_m
+        m1 = (k0[..., None] * m0 + sx) / kappa1[..., None]        # [K, K, D]
+        mm0 = m0[..., :, None] * m0[..., None, :]                 # [K, 1, D, D]
+        mm1 = m1[..., :, None] * m1[..., None, :]
+        psi1 = (
+            nu0[..., None, None] * prior["psi"][:, None]
+            + k0[..., None, None] * mm0
+            - kappa1[..., None, None] * mm1
+            + sxx
+        ) / nu1[..., None, None]
+        psi1 = 0.5 * (psi1 + jnp.swapaxes(psi1, -1, -2))
+
+        pair_mask = mask[:, None] & mask[None, :] & (n_m > 0)
+        ld1 = linalg.chol_logdet(linalg.masked_cholesky(psi1, pair_mask))
+        # per-slot prior terms
+        ld0 = linalg.chol_logdet(
+            linalg.masked_cholesky(prior["psi"], mask)
+        )[:, None]
+        lgmv0 = linalg.log_multivariate_gamma(prior["nu"] / 2.0, d)[:, None]
+
+        out = (
+            -n_m * d * 0.5 * LOG_PI
+            + linalg.log_multivariate_gamma(nu1 / 2.0, d)
+            - lgmv0
+            + (nu0 / 2.0) * (d * jnp.log(nu0) + ld0)
+            - (nu1 / 2.0) * (d * jnp.log(nu1) + ld1)
+            + (d / 2.0) * jnp.log(k0 / kappa1)
+        )
+        return jnp.where(pair_mask, out, 0.0)
+
     # ---- sampling ---------------------------------------------------------
     def sample_params(self, key, hyper, mask):
         """Draw (mu, Sigma) from the NIW and pack natural parameters.

@@ -47,8 +47,15 @@ def assign_and_stats(
     hard,         # bool scalar: argmax labels instead of sampling
     family,
     chunk: int,
+    use_pallas: bool = False,
+    interpret: bool = False,
 ):
     """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S])."""
+    if use_pallas:
+        return _assign_and_stats_pallas(
+            key, x, valid, phi, log_w, log_lrw, hard, family, chunk,
+            interpret,
+        )
     k_slots = phi.shape[0]
     f = phi.shape[-1]
     s = family.stat_dim(x.shape[-1])
@@ -93,6 +100,33 @@ def assign_and_stats(
         body, (acc0, jnp.int32(0)), xs, length=n_chunks
     )
     return labels.reshape(-1), sublabels.reshape(-1), stats_lr
+
+
+def _assign_and_stats_pallas(
+    key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
+    interpret: bool,
+):
+    """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
+    layouts: phi [K, 3, F] -> [F, 3K] side-major columns; stats [2K, F] ->
+    [K, 2, S]."""
+    from ..ops import pallas_sweep
+
+    k_slots = phi.shape[0]
+    f = phi.shape[-1]
+    tile = 512 if chunk % 512 == 0 else chunk
+    phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(f, 3 * k_slots)
+    seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+    labels, sub, stats2k = pallas_sweep.fused_assign(
+        seed, x, valid, phi_mat, log_w,
+        jnp.transpose(log_lrw, (1, 0)),
+        hard.astype(jnp.int32),
+        k_slots=k_slots,
+        family_name=family.name,
+        tile=tile,
+        interpret=interpret,
+    )
+    stats_lr = jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
+    return labels, sub, stats_lr
 
 
 def stats_only(

@@ -219,7 +219,27 @@ def merge_move(key, table, labels, sublabels, alpha: float, final, family):
     *disjoint* set of pairs per sweep (each slot participates in at most one
     merge), every accepted pair still justified by an exact MH ratio on the
     pre-move state; chains simply take one extra sweep.
+
+    The O(K^2) scan is skipped entirely (lax.cond) when fewer than two slots
+    are merge-eligible -- the common case right after splits reset burnout.
     """
+    n_w0 = table["stats"]["n"][:, 0]
+    elig0 = (
+        table["active"] & table["splittable"] & (n_w0 > 0)
+        & ~table["is_outlier"]
+    )
+    return jax.lax.cond(
+        jnp.sum(elig0.astype(jnp.int32)) >= 2,
+        lambda ops: _merge_move_impl(
+            key, ops[0], ops[1], ops[2], alpha, final, family
+        ),
+        lambda ops: ops,
+        (table, labels, sublabels),
+    )
+
+
+def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
+                     family):
     k = table["active"].shape[0]
     ku, klr = jax.random.split(key)
     active = table["active"]
@@ -230,37 +250,27 @@ def merge_move(key, table, labels, sublabels, alpha: float, final, family):
 
     lm_w = family.log_marginal(table["prior"], post_w, stats_w, eligible)
     safe_n = jnp.maximum(n_w, 1e-30)
-
-    flat_w = family.stats_to_flat(stats_w)  # [K, S]
     dim = (
         table["prior"]["m"].shape[-1]
         if "m" in table["prior"]
         else table["prior"]["alpha"].shape[-1]
     )
 
-    def row(i):
-        merged_flat = flat_w[i][None, :] + flat_w  # [K, S]
-        merged = family.stats_from_flat(merged_flat, dim)
-        prior_i = jax.tree.map(lambda a: jnp.broadcast_to(a[i], (k,) + a.shape[1:]), table["prior"])
-        post_m = family.calc_posterior(prior_i, merged)
-        lm_m = family.log_marginal(prior_i, post_m, merged, jnp.ones((k,), bool))
-        nm = n_w[i] + n_w
-        return (
-            -jnp.log(alpha)
-            + gammaln(alpha)
-            - 2.0 * gammaln(alpha / 2.0)
-            + gammaln(jnp.maximum(nm, 1e-30))
-            - gammaln(nm + alpha)
-            + gammaln(safe_n[i] + alpha / 2.0)
-            - gammaln(safe_n[i])
-            + gammaln(safe_n + alpha / 2.0)
-            - gammaln(safe_n)
-            + lm_m
-            - lm_w[i]
-            - lm_w
-        )
-
-    log_hr = jax.vmap(row)(jnp.arange(k))  # [K, K]
+    # O(K^2) merged marginals with per-slot prior terms hoisted out
+    lm_m = family.log_marginal_pairwise(table["prior"], stats_w, eligible)
+    nm = jnp.maximum(n_w[:, None] + n_w[None, :], 1e-30)
+    log_hr = (
+        -jnp.log(alpha)
+        + gammaln(alpha)
+        - 2.0 * gammaln(alpha / 2.0)
+        + gammaln(nm)
+        - gammaln(nm + alpha)
+        + (gammaln(safe_n + alpha / 2.0) - gammaln(safe_n))[:, None]
+        + (gammaln(safe_n + alpha / 2.0) - gammaln(safe_n))[None, :]
+        + lm_m
+        - lm_w[:, None]
+        - lm_w[None, :]
+    )  # [K, K]
 
     u = jax.random.uniform(ku, (k, k), minval=1e-37)
     i_idx = jnp.arange(k)[:, None]

@@ -50,6 +50,12 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
     chunk = cfg.chunk_size
     alpha = float(cfg.alpha)
     outlier_mod = float(cfg.outlier_mod)
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        # auto: the fused kernel targets real TPU backends; the portable
+        # jnp path serves CPU (tests) without the slow interpreter.
+        use_pallas = jax.default_backend() not in ("cpu",)
+    interpret = bool(use_pallas) and jax.default_backend() == "cpu"
 
     def sweep(table, labels, sublabels, key, points, valid, n_total,
               final, no_more_splits):
@@ -93,6 +99,8 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             hard,
             family,
             chunk,
+            use_pallas=use_pallas,
+            interpret=interpret,
         )
         if axis_name is not None:
             stats_lr = jax.lax.psum(stats_lr, axis_name)

@@ -241,3 +241,60 @@ def test_sym_pack_roundtrip(rng):
     got = np.asarray(coeff) @ np.asarray(xx).T
     want = np.einsum("bij,i,j->b", m, x, x)
     np.testing.assert_allclose(got, want, rtol=1e-4)
+
+
+def test_log_marginal_pairwise_matches_perpair(rng):
+    """The O(K^2) merged-pair marginal (prior terms hoisted) must equal the
+    naive per-pair calc_posterior + log_marginal composition."""
+    d, k = 3, 5
+    prior = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (k,) + a.shape),
+        GAUSSIAN.make_prior(1.5, np.zeros(d), d + 4.0, np.eye(d)),
+    )
+    xs = [rng.normal(size=(10 + 3 * i, d)).astype(np.float32) + i for i in range(k)]
+    stats = {
+        "n": jnp.asarray([len(x) for x in xs], jnp.float32),
+        "sum_x": jnp.asarray(np.stack([x.sum(0) for x in xs])),
+        "sum_xx": jnp.asarray(np.stack([x.T @ x for x in xs])),
+    }
+    mask = jnp.ones((k,), bool)
+    got = np.asarray(GAUSSIAN.log_marginal_pairwise(prior, stats, mask))
+    for i in range(k):
+        for j in range(k):
+            merged = {
+                "n": stats["n"][i] + stats["n"][j],
+                "sum_x": stats["sum_x"][i] + stats["sum_x"][j],
+                "sum_xx": stats["sum_xx"][i] + stats["sum_xx"][j],
+            }
+            prior_i = jax.tree.map(lambda a: a[i], prior)
+            post = GAUSSIAN.calc_posterior(prior_i, merged)
+            want = float(
+                GAUSSIAN.log_marginal(prior_i, post, merged, jnp.asarray(True))
+            )
+            np.testing.assert_allclose(got[i, j], want, rtol=2e-4, atol=2e-3)
+
+    # multinomial variant
+    dm = 6
+    mprior = jax.tree.map(
+        lambda a: jnp.broadcast_to(a, (k,) + a.shape),
+        MULTINOMIAL.make_prior(np.linspace(0.5, 2.0, dm).astype(np.float32)),
+    )
+    mstats = {
+        "n": jnp.asarray(np.arange(1, k + 1), jnp.float32),
+        "sum_x": jnp.asarray(
+            rng.integers(1, 20, size=(k, dm)).astype(np.float32)
+        ),
+    }
+    got_m = np.asarray(MULTINOMIAL.log_marginal_pairwise(mprior, mstats, mask))
+    for i in range(k):
+        for j in range(k):
+            merged = {
+                "n": mstats["n"][i] + mstats["n"][j],
+                "sum_x": mstats["sum_x"][i] + mstats["sum_x"][j],
+            }
+            prior_i = jax.tree.map(lambda a: a[i], mprior)
+            post = MULTINOMIAL.calc_posterior(prior_i, merged)
+            want = float(
+                MULTINOMIAL.log_marginal(prior_i, post, merged, jnp.asarray(True))
+            )
+            np.testing.assert_allclose(got_m[i, j], want, rtol=1e-5, atol=1e-3)
