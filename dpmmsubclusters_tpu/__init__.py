@@ -12,7 +12,13 @@ from .config import DPMMConfig
 from .priors import GAUSSIAN, MULTINOMIAL
 from .priors.niw import GaussianFamily
 from .priors.dirichlet import MultinomialFamily
-from .api import DPMMModel, FitResult, fit, run_from_checkpoint
+from .api import (
+    DPMMModel,
+    FitResult,
+    fit,
+    fit_distributed,
+    run_from_checkpoint,
+)
 from .io.npy import load_data
 from .io.checkpoint import load_checkpoint, save_checkpoint
 from .utils.generators import generate_gaussian_data, generate_mnmm_data
@@ -29,6 +35,7 @@ __all__ = [
     "GaussianFamily",
     "MultinomialFamily",
     "fit",
+    "fit_distributed",
     "run_from_checkpoint",
     "load_data",
     "load_checkpoint",

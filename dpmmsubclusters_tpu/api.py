@@ -319,6 +319,102 @@ def _model_from_state(fam, cfg, state: DPMMState, shift, n: int) -> DPMMModel:
     )
 
 
+def fit_distributed(
+    x_local,
+    alpha: float = 10.0,
+    prior: Optional[dict] = None,
+    *,
+    family=None,
+    outlier_prior: Optional[dict] = None,
+    config: Optional[DPMMConfig] = None,
+    **overrides,
+) -> FitResult:
+    """Multi-host ``fit``: every process passes only ITS rows.
+
+    Counterpart of the reference's multi-machine mode (user-level
+    ``addprocs`` + ``DistributedArrays.distribute``,
+    ``docs/src/perf.md:3``, ``src/dp-parallel-sampling.jl:42``).  Call
+    ``parallel.distributed.initialize()`` first on every process; the global
+    mesh spans all chips of all processes and the per-sweep statistics
+    ``psum`` rides ICI/DCN.  The returned model's ``labels`` cover THIS
+    process's rows only (the table and all cluster parameters are global
+    and identical on every process).
+    """
+    from .parallel import distributed as dist
+
+    x = np.ascontiguousarray(np.asarray(x_local, np.float32))
+    n_local, d = x.shape
+    cfg = config if config is not None else DPMMConfig()
+    if alpha is not None:
+        overrides.setdefault("alpha", float(alpha))
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    fam = _resolve_family(family, prior)
+    if prior is None:
+        prior = fam.default_prior(d)
+
+    mesh = dist.global_data_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    cfg = cfg.replace(
+        chunk_size=_effective_chunk(cfg, max(n_local, 1) * jax.process_count(),
+                                    n_dev)
+    )
+    engine = DPMMEngine(fam, cfg, mesh)
+    points, valid, n_global = dist.shard_points_global(
+        x, mesh, cfg.chunk_size
+    )
+
+    # global centering (gaussian): masked mean over every process's rows
+    if cfg.center_data and fam.name == "gaussian":
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        sums = jax.jit(
+            lambda p, v: (
+                jnp.sum(p * v[:, None], axis=0),
+                jnp.sum(v.astype(jnp.float32)),
+            ),
+            out_shardings=NamedSharding(mesh, P()),
+        )(points, valid)
+        shift = np.asarray(jax.device_get(sums[0])) / max(
+            float(jax.device_get(sums[1])), 1.0
+        )
+        points = jax.jit(
+            lambda p, v: p - (jnp.asarray(shift) * v[:, None].astype(p.dtype)),
+            out_shardings=points.sharding,
+            donate_argnums=(0,),
+        )(points, valid)
+        prior = fam.shift_prior(prior, -jnp.asarray(shift))
+    else:
+        shift = np.zeros(d, np.float32)
+
+    seed = cfg.seed if cfg.seed is not None else 0
+    state = engine.init_state(
+        jax.random.PRNGKey(seed), points, valid, prior, outlier_prior
+    )
+    n_total = jax.device_put(
+        jnp.float32(n_global),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    state, hist = run_loop(
+        engine, state, points, valid, n_total, cfg.iters, verbose=False
+    )
+
+    table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
+    labels_local = np.concatenate(
+        [np.asarray(s.data) for s in state.labels.addressable_shards]
+    )[:n_local]
+    sub_local = np.concatenate(
+        [np.asarray(s.data) for s in state.sublabels.addressable_shards]
+    )[:n_local]
+    model = DPMMModel(
+        family=fam, table=table, shift=np.asarray(shift, np.float32),
+        cfg=cfg, n_points=int(n_global), labels_raw=labels_local,
+        sublabels=sub_local,
+        key=np.asarray(jax.device_get(state.key)), step=state.step,
+    )
+    return FitResult(model=model, history=hist)
+
+
 def run_from_checkpoint(
     path: str,
     data,

@@ -144,6 +144,85 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
         stats_ref[:] = stats_ref[:] + contrib
 
 
+def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
+                  k_slots: int, feat_fn, d: int):
+    i = pl.program_id(0)
+    x = x_ref[:]
+    t = x.shape[0]
+    feat = feat_fn(x, d)
+    labels = labels_ref[:]                                       # [T, 1]
+    col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
+    oh = (labels == col).astype(jnp.float32)
+    v = valid_ref[:].astype(jnp.float32)                         # [T, 1]
+    s_f = sub_ref[:].astype(jnp.float32)                         # [T, 1]
+    wl = oh * ((1.0 - s_f) * v)
+    wr = oh * (s_f * v)
+    ohs = jnp.concatenate([wl, wr], axis=1)
+    contrib = jax.lax.dot_general(
+        ohs, feat,
+        dimension_numbers=(((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )
+
+    @pl.when(i == 0)
+    def _():
+        stats_ref[:] = contrib
+
+    @pl.when(i > 0)
+    def _():
+        stats_ref[:] = stats_ref[:] + contrib
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("k_slots", "family_name", "tile", "interpret"),
+)
+def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
+                      family_name: str, tile: int = 512,
+                      interpret: bool = False):
+    """Statistics-only kernel: given labels/sub-labels, accumulate the
+    [2K, F] per-(slot, side) statistics (the recompute passes after split
+    moves and bad-cluster resets)."""
+    n, d = x.shape
+    assert n % tile == 0, (n, tile)
+    grid = n // tile
+    feat_fn = (
+        _feature_tile if family_name == "gaussian"
+        else _multinomial_feature_tile
+    )
+    f = (1 + d + d * (d + 1) // 2) if family_name == "gaussian" else (1 + d)
+
+    kernel = functools.partial(
+        _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d
+    )
+    (stats,) = pl.pallas_call(
+        kernel,
+        grid=(grid,),
+        in_specs=[
+            pl.BlockSpec((tile, d), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32)],
+        interpret=pltpu.InterpretParams() if interpret else False,
+    )(
+        x,
+        labels.reshape(n, 1),
+        sublabels.reshape(n, 1),
+        valid.reshape(n, 1),
+    )
+    return stats
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("k_slots", "family_name", "tile", "interpret"),

@@ -252,7 +252,8 @@ class GaussianFamily:
         mu = linalg.sample_mvn_from_precision_factors(
             km, hyper["m"], factors, hyper["kappa"]
         )
-        h = jnp.einsum("...ij,...j->...i", prec, mu)
+        h = jnp.einsum("...ij,...j->...i", prec, mu,
+                       precision=jax.lax.Precision.HIGHEST)
         quad = jnp.einsum("...i,...i->...", mu, h)
         c = -0.5 * (d * LOG_2PI + logdet_sigma + quad)
         phi = jnp.concatenate(

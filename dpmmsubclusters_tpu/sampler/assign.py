@@ -71,7 +71,9 @@ def assign_and_stats(
         k1, k2 = jax.random.split(kc)
 
         feat = family.features(xc)  # [C, F] -- shared by ll matmul AND stats
-        ll3 = (feat @ phi_mat).reshape(xc.shape[0], k_slots, 3)
+        ll3 = jnp.dot(
+            feat, phi_mat, precision=jax.lax.Precision.HIGHEST
+        ).reshape(xc.shape[0], k_slots, 3)
         ll3 = jnp.nan_to_num(ll3, nan=NEG_INF, posinf=NEG_INF, neginf=NEG_INF)
 
         logits = ll3[:, :, 0] + log_w[None, :]  # [C, K]; -inf masks inactive
@@ -92,7 +94,11 @@ def assign_and_stats(
             oh[:, :, None] * jax.nn.one_hot(sub, 2, dtype=xc.dtype)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
         ohs = ohs * vc[:, None].astype(xc.dtype)
-        acc = acc + (ohs.T @ feat).reshape(k_slots, 2, s)
+        # full-f32 MXU accumulation: default (bf16) precision suffers
+        # catastrophic cancellation in cov = E[xx] - mu mu^T downstream
+        acc = acc + jnp.dot(
+            ohs.T, feat, precision=jax.lax.Precision.HIGHEST
+        ).reshape(k_slots, 2, s)
         return (acc, i + 1), (labels, sub)
 
     acc0 = jnp.zeros((k_slots, 2, s), jnp.float32)
@@ -130,7 +136,8 @@ def _assign_and_stats_pallas(
 
 
 def stats_only(
-    x, valid, labels, sublabels, k_slots: int, family, chunk: int
+    x, valid, labels, sublabels, k_slots: int, family, chunk: int,
+    use_pallas: bool = False, interpret: bool = False,
 ):
     """Recompute per-(slot, side) statistics from given labels/sub-labels.
 
@@ -138,6 +145,16 @@ def stats_only(
     (reference ``update_suff_stats_posterior!``,
     src/local_clusters_actions.jl:206-254).  Returns f32[K, 2, S].
     """
+    if use_pallas:
+        from ..ops import pallas_sweep
+
+        tile = 512 if chunk % 512 == 0 else chunk
+        stats2k = pallas_sweep.stats_from_labels(
+            x, labels, sublabels, valid,
+            k_slots=k_slots, family_name=family.name, tile=tile,
+            interpret=interpret,
+        )
+        return jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
     s = family.stat_dim(x.shape[-1])
     xs = (
         _chunk(x, chunk),
@@ -154,7 +171,9 @@ def stats_only(
         ).reshape(xc.shape[0], 2 * k_slots)
         ohs = ohs * vc[:, None].astype(xc.dtype)
         sfeat = family.stat_features(xc)
-        return acc + (ohs.T @ sfeat).reshape(k_slots, 2, s), None
+        return acc + jnp.dot(
+            ohs.T, sfeat, precision=jax.lax.Precision.HIGHEST
+        ).reshape(k_slots, 2, s), None
 
     acc0 = jnp.zeros((k_slots, 2, s), jnp.float32)
     stats_lr, _ = jax.lax.scan(body, acc0, xs)

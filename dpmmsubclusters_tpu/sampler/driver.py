@@ -114,10 +114,14 @@ class DPMMEngine:
         )
 
         k_max, chunk = cfg.k_max, cfg.chunk_size
+        from .sweep import resolve_pallas
+
+        use_pallas, interpret = resolve_pallas(cfg)
 
         def _stats(points, valid, labels, sublabels):
             stats_lr = assign_mod.stats_only(
-                points, valid, labels, sublabels, k_max, family, chunk
+                points, valid, labels, sublabels, k_max, family, chunk,
+                use_pallas=use_pallas, interpret=interpret,
             )
             stats_lr = jax.lax.psum(stats_lr, DATA_AXIS)
             return assign_mod.lr_to_full(stats_lr)
@@ -145,7 +149,8 @@ class DPMMEngine:
                 )
                 stats_lr = jax.lax.psum(
                     assign_mod.stats_only(
-                        points, valid, labels, sub, k_max, family, chunk
+                        points, valid, labels, sub, k_max, family, chunk,
+                        use_pallas=use_pallas, interpret=interpret,
                     ),
                     DATA_AXIS,
                 )

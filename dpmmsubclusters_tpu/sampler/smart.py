@@ -36,7 +36,8 @@ def top_eigvec(mat: jax.Array, iters: int = 25) -> jax.Array:
     v0 = jnp.ones((k, d), mat.dtype) / jnp.sqrt(jnp.asarray(d, mat.dtype))
 
     def body(_, v):
-        w = jnp.einsum("kde,ke->kd", mat, v)
+        w = jnp.einsum("kde,ke->kd", mat, v,
+                       precision=jax.lax.Precision.HIGHEST)
         nrm = jnp.linalg.norm(w, axis=-1, keepdims=True)
         return jnp.where(nrm > 1e-20, w / jnp.maximum(nrm, 1e-20), v)
 

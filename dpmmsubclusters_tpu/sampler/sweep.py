@@ -37,6 +37,17 @@ from .table import compute_posteriors, log_posterior, active_count
 NEG_INF = -jnp.inf
 
 
+def resolve_pallas(cfg):
+    """(use_pallas, interpret): the fused kernels target real TPU backends;
+    the portable jnp path serves CPU tests unless use_pallas is forced, in
+    which case CPU runs the (slow) TPU interpreter."""
+    use_pallas = cfg.use_pallas
+    if use_pallas is None:
+        use_pallas = jax.default_backend() not in ("cpu",)
+    interpret = bool(use_pallas) and jax.default_backend() == "cpu"
+    return bool(use_pallas), interpret
+
+
 def make_sweep(family, cfg, axis_name: Optional[str] = None):
     """Build the jittable sweep function.
 
@@ -50,12 +61,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
     chunk = cfg.chunk_size
     alpha = float(cfg.alpha)
     outlier_mod = float(cfg.outlier_mod)
-    use_pallas = cfg.use_pallas
-    if use_pallas is None:
-        # auto: the fused kernel targets real TPU backends; the portable
-        # jnp path serves CPU (tests) without the slow interpreter.
-        use_pallas = jax.default_backend() not in ("cpu",)
-    interpret = bool(use_pallas) and jax.default_backend() == "cpu"
+    use_pallas, interpret = resolve_pallas(cfg)
 
     def sweep(table, labels, sublabels, key, points, valid, n_total,
               final, no_more_splits):
@@ -64,7 +70,8 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
 
         def stats_pass(labels, sublabels):
             stats_lr = assign_mod.stats_only(
-                points, valid, labels, sublabels, k_slots, family, chunk
+                points, valid, labels, sublabels, k_slots, family, chunk,
+                use_pallas=use_pallas, interpret=interpret,
             )
             if axis_name is not None:
                 stats_lr = jax.lax.psum(stats_lr, axis_name)

@@ -118,3 +118,41 @@ def test_smart_splits():
                    burnout=5, smart_splits=True)
     assert res.k == 4
     assert dpmm.nmi(gt, res.labels) > 0.999
+
+
+def test_fit_distributed_single_process():
+    """fit_distributed exercises the multi-host data-placement path
+    (make_array_from_process_local_data + global centering reduction) --
+    single process, 8 virtual devices."""
+    x, gt = four_corners(800)
+    res = dpmm.fit_distributed(x, alpha=100.0, iters=80, seed=9, burnout=5)
+    assert res.k == 4
+    assert dpmm.nmi(gt, res.labels) > 0.999
+
+
+def test_params_file_mode(tmp_path):
+    """JSON params-file mode (reference advanced mode dp_parallel(path),
+    src/dp-parallel-sampling.jl:317-334): npy data + declarative config."""
+    import json
+    x, gt = four_corners(400)
+    np.save(tmp_path / "data.npy", x)
+    np.save(tmp_path / "gt.npy", gt)
+    params = {
+        "data_path": str(tmp_path / "data.npy"),
+        "gt_path": str(tmp_path / "gt.npy"),
+        "alpha": 100.0,
+        "iters": 60,
+        "seed": 5,
+        "burnout": 5,
+        "verbose": False,
+        "prior": {
+            "kappa": 1.0, "m": [0.0, 0.0], "nu": 5.0,
+            "psi": [[1.0, 0.0], [0.0, 1.0]],
+        },
+    }
+    with open(tmp_path / "params.json", "w") as f:
+        json.dump(params, f)
+    from dpmmsubclusters_tpu.run import fit_from_params
+    res = fit_from_params(str(tmp_path / "params.json"))
+    assert res.k == 4
+    assert len(res.history.nmi) == 60

@@ -94,3 +94,17 @@ def test_multinomial_kernel(rng):
         MULTINOMIAL, 128, use_pallas=True, interpret=True,
     )
     assert np.array_equal(np.asarray(l1), np.asarray(l2))
+
+
+def test_stats_from_labels_matches_jnp(rng):
+    n, d, k = 256, 4, 8
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    valid = jnp.asarray(np.arange(n) < 240)
+    labels = jnp.asarray(rng.integers(0, k, size=n).astype(np.int32))
+    sub = jnp.asarray(rng.integers(0, 2, size=n).astype(np.int32))
+    st_jnp = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128)
+    st_pal = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128,
+                          use_pallas=True, interpret=True)
+    np.testing.assert_allclose(
+        np.asarray(st_jnp), np.asarray(st_pal), rtol=1e-4, atol=1e-3
+    )
