@@ -25,7 +25,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ..config import DPMMConfig
 from ..parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated
@@ -67,7 +67,7 @@ class DPMMEngine:
                 in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
                           rspec, rspec, rspec),
                 out_specs=(rspec, dspec, dspec, rspec, rspec),
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(0, 1, 2, 3),
         )
@@ -108,7 +108,7 @@ class DPMMEngine:
                 in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
                           rspec, rspec, rspec),
                 out_specs=(rspec, dspec, dspec, rspec, rspec),
-                check_rep=False,
+                check_vma=False,
             ),
             donate_argnums=(0, 1, 2, 3),
         )
@@ -132,7 +132,7 @@ class DPMMEngine:
                 mesh=self.mesh,
                 in_specs=(dspec, dspec, dspec, dspec),
                 out_specs=rspec,
-                check_rep=False,
+                check_vma=False,
             )
         )
 
@@ -162,7 +162,7 @@ class DPMMEngine:
                     mesh=self.mesh,
                     in_specs=(dspec, dspec, dspec, dspec, rspec),
                     out_specs=(dspec, rspec),
-                    check_rep=False,
+                    check_vma=False,
                 )
             )
 
