@@ -33,6 +33,11 @@ def log(msg):
 def main():
     import jax
 
+    # persistent compile cache: remote-compile latency on tunneled backends
+    # is high-variance; repeat runs should hit disk
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+
     from dpmmsubclusters_tpu.config import DPMMConfig
     from dpmmsubclusters_tpu.parallel.mesh import make_data_mesh
     from dpmmsubclusters_tpu.priors import GAUSSIAN
@@ -64,12 +69,16 @@ def main():
     jax.block_until_ready(state.table["log_weights"])
     log("init done")
 
-    off = np.zeros(warmup, bool)
-    state, metrics = engine.step_block(state, points, valid, n_total, off, off)
+    # warmup uses the SAME block length as the timed run -- a different
+    # length would recompile the scan and pollute the timing
+    off = np.zeros(timed, bool)
+    for _ in range(max(1, warmup // timed)):
+        state, metrics = engine.step_block(
+            state, points, valid, n_total, off, off
+        )
     k_active = int(metrics["k"][-1])
     log(f"warmup block done (compile): K={k_active}")
 
-    off = np.zeros(timed, bool)
     t0 = time.perf_counter()
     state, metrics = engine.step_block(state, points, valid, n_total, off, off)
     k_final = int(metrics["k"][-1])

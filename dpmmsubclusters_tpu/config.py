@@ -35,6 +35,9 @@ class DPMMConfig:
     center_data: bool = True        # subtract global mean; shifts prior mean
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     fused_block: int = 16           # sweeps fused per dispatch (async mode)
+    merge_candidates: Optional[int] = None  # None = exact all-pairs merge
+    # scan; an int M evaluates only the top-M screen-score pairs (O(M)
+    # Cholesky work instead of O(K^2))
 
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None

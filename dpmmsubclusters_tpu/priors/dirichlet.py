@@ -86,6 +86,15 @@ class MultinomialFamily:
         pair_mask = mask[:, None] & mask[None, :] & (n_m > 0)
         return jnp.where(pair_mask, out, 0.0)
 
+    def merge_screen_score(self, post_w, params_w) -> jax.Array:
+        """Cheap [K, K] mergeability score: negative Bhattacharyya affinity
+        between posterior mean distributions (lower = closer)."""
+        a = post_w["alpha"]
+        p = a / jnp.sum(a, axis=-1, keepdims=True)
+        sq = jnp.sqrt(jnp.maximum(p, 1e-30))
+        aff = sq @ sq.T
+        return -jnp.log(jnp.maximum(aff, 1e-30))
+
     # ---- sampling ---------------------------------------------------------
     def sample_params(self, key, hyper, mask):
         """log p ~ log Dirichlet(alpha): normalized log-Gamma draws."""

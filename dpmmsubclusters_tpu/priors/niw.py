@@ -233,6 +233,22 @@ class GaussianFamily:
         )
         return jnp.where(pair_mask, out, 0.0)
 
+    def merge_screen_score(self, post_w, params_w) -> jax.Array:
+        """Cheap [K, K] mergeability score (lower = closer): symmetric
+        Mahalanobis distance between posterior means under the sampled
+        precisions.  Used to pick top-M candidate pairs for the exact MH
+        merge evaluation (``merge_candidates`` config)."""
+        mu = post_w["m"]                      # [K, D]
+        prec = params_w["prec"]               # [K, D, D]
+        k, d = mu.shape
+        pm = jnp.einsum("ide,ie->id", prec, mu)            # P_i mu_i
+        s = jnp.einsum("id,id->i", pm, mu)                 # mu_i P_i mu_i
+        c = mu @ pm.T                                      # [k(k), i]: mu_k P_i mu_i
+        m2 = (mu[:, :, None] * mu[:, None, :]).reshape(k, d * d)
+        q = prec.reshape(k, d * d) @ m2.T                  # [i, k]: mu_k P_i mu_k
+        dist = q - 2.0 * c.T + s[:, None]                  # [i, k]
+        return dist + dist.T
+
     # ---- sampling ---------------------------------------------------------
     def sample_params(self, key, hyper, mask):
         """Draw (mu, Sigma) from the NIW and pack natural parameters.

@@ -103,21 +103,29 @@ def _scatter_rows(arr, dst, src_rows):
     return arr.at[dst].set(src_rows, mode="drop")
 
 
-def split_move(key, key_pts, table, labels, sublabels, alpha: float, final, family):
+def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
+               family, lm=None):
     """Metropolis-Hastings split proposals for every splittable slot at once.
 
     Acceptance ratio (local_clusters_actions.jl:318-343):
       log_HR = log a + lgamma(Nl) + L_l + lgamma(Nr) + L_r - lgamma(N) - L
     Accepted slot k moves its right-sub-cluster points to a free slot and both
     slots restart burnout with re-randomized sub-labels.
+
+    ``lm``: optional precomputed [K, 3] log marginals of the current
+    (prior, post, stats) -- the sweep computes them once and shares them
+    with the merge move.
     """
     k = table["active"].shape[0]
     ku, klr = jax.random.split(key)
     active = table["active"]
     n = table["stats"]["n"]
 
-    prior3 = side_tile(table["prior"])
-    lm = family.log_marginal(prior3, table["post"], table["stats"], _mask3(table))
+    if lm is None:
+        prior3 = side_tile(table["prior"])
+        lm = family.log_marginal(
+            prior3, table["post"], table["stats"], _mask3(table)
+        )
     eligible = (
         active
         & table["splittable"]
@@ -205,7 +213,8 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final, fami
     return table, labels, sublabels, jnp.any(accept), touched
 
 
-def merge_move(key, table, labels, sublabels, alpha: float, final, family):
+def merge_move(key, table, labels, sublabels, alpha: float, final, family,
+               lm_w=None, candidates=None):
     """Masked pairwise Metropolis-Hastings merge scan.
 
     Hastings ratio per (shared_actions.jl:21-38):
@@ -222,6 +231,11 @@ def merge_move(key, table, labels, sublabels, alpha: float, final, family):
 
     The O(K^2) scan is skipped entirely (lax.cond) when fewer than two slots
     are merge-eligible -- the common case right after splits reset burnout.
+
+    ``candidates``: when set, only the top-``candidates`` pairs by the
+    family's cheap screen score get the exact (Cholesky-bearing) MH
+    evaluation -- a deterministic restriction of the scan like the
+    reference's all-pairs sweep, at O(candidates) instead of O(K^2) cost.
     """
     n_w0 = table["stats"]["n"][:, 0]
     elig0 = (
@@ -231,31 +245,19 @@ def merge_move(key, table, labels, sublabels, alpha: float, final, family):
     return jax.lax.cond(
         jnp.sum(elig0.astype(jnp.int32)) >= 2,
         lambda ops: _merge_move_impl(
-            key, ops[0], ops[1], ops[2], alpha, final, family
+            key, ops[0], ops[1], ops[2], alpha, final, family, lm_w,
+            candidates,
         ),
         lambda ops: ops,
         (table, labels, sublabels),
     )
 
 
-def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
-                     family):
-    k = table["active"].shape[0]
-    ku, klr = jax.random.split(key)
-    active = table["active"]
-    stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
-    post_w = jax.tree.map(lambda a: a[:, 0], table["post"])
-    n_w = stats_w["n"]
-    eligible = active & table["splittable"] & (n_w > 0) & ~table["is_outlier"]
-
-    lm_w = family.log_marginal(table["prior"], post_w, stats_w, eligible)
+def _merge_pairs_full(ku, table, family, eligible, lm_w, n_w, alpha, final):
+    """Exact log_HR for every (i, j) pair -> accepted-pair mask [K, K]."""
+    k = eligible.shape[0]
     safe_n = jnp.maximum(n_w, 1e-30)
-    dim = (
-        table["prior"]["m"].shape[-1]
-        if "m" in table["prior"]
-        else table["prior"]["alpha"].shape[-1]
-    )
-
+    stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
     # O(K^2) merged marginals with per-slot prior terms hoisted out
     lm_m = family.log_marginal_pairwise(table["prior"], stats_w, eligible)
     nm = jnp.maximum(n_w[:, None] + n_w[None, :], 1e-30)
@@ -275,12 +277,94 @@ def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
     u = jax.random.uniform(ku, (k, k), minval=1e-37)
     i_idx = jnp.arange(k)[:, None]
     j_idx = jnp.arange(k)[None, :]
-    pair_ok = (
+    return (
         eligible[:, None]
         & eligible[None, :]
         & (j_idx > i_idx)
         & ((log_hr > jnp.log(u)) | (final & (log_hr > jnp.log(0.1))))
     )
+
+
+def _merge_pairs_screened(ku, table, family, eligible, lm_w, n_w, alpha,
+                          final, m_cand: int, dim: int):
+    """Exact log_HR for only the top-``m_cand`` screen-score pairs."""
+    k = eligible.shape[0]
+    stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+    post_w = jax.tree.map(lambda a: a[:, 0], table["post"])
+    params_w = jax.tree.map(lambda a: a[:, 0], table["params"])
+
+    score = family.merge_screen_score(post_w, params_w)          # [K, K]
+    i_idx = jnp.arange(k)[:, None]
+    j_idx = jnp.arange(k)[None, :]
+    valid_pair = eligible[:, None] & eligible[None, :] & (j_idx > i_idx)
+    score = jnp.where(valid_pair, score, jnp.inf)
+    neg, idx = jax.lax.top_k(-score.reshape(-1), m_cand)
+    ii = (idx // k).astype(jnp.int32)
+    jj = (idx % k).astype(jnp.int32)
+    valid_m = jnp.isfinite(neg)
+
+    flat_w = family.stats_to_flat(stats_w)                       # [K, S]
+    merged = family.stats_from_flat(flat_w[ii] + flat_w[jj], dim)
+    prior_i = jax.tree.map(lambda a: a[ii], table["prior"])
+    post_m = family.calc_posterior(prior_i, merged)
+    lm_m = family.log_marginal(prior_i, post_m, merged, valid_m)
+
+    ni = jnp.maximum(n_w[ii], 1e-30)
+    nj = jnp.maximum(n_w[jj], 1e-30)
+    nm = jnp.maximum(ni + nj, 1e-30)
+    log_hr = (
+        -jnp.log(alpha)
+        + gammaln(alpha)
+        - 2.0 * gammaln(alpha / 2.0)
+        + gammaln(nm)
+        - gammaln(nm + alpha)
+        + gammaln(ni + alpha / 2.0)
+        - gammaln(ni)
+        + gammaln(nj + alpha / 2.0)
+        - gammaln(nj)
+        + lm_m
+        - lm_w[ii]
+        - lm_w[jj]
+    )                                                             # [M]
+    u = jax.random.uniform(ku, (m_cand,), minval=1e-37)
+    acc = valid_m & (
+        (log_hr > jnp.log(u)) | (final & (log_hr > jnp.log(0.1)))
+    )
+    return (
+        jnp.zeros((k, k), bool).at[ii, jj].set(acc, mode="drop")
+    )
+
+
+def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
+                     family, lm_w=None, candidates=None):
+    k = table["active"].shape[0]
+    ku, klr = jax.random.split(key)
+    active = table["active"]
+    stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+    post_w = jax.tree.map(lambda a: a[:, 0], table["post"])
+    n_w = stats_w["n"]
+    eligible = active & table["splittable"] & (n_w > 0) & ~table["is_outlier"]
+
+    if lm_w is None:
+        lm_w = family.log_marginal(table["prior"], post_w, stats_w, eligible)
+    lm_w = jnp.where(eligible, lm_w, 0.0)
+    dim = (
+        table["prior"]["m"].shape[-1]
+        if "m" in table["prior"]
+        else table["prior"]["alpha"].shape[-1]
+    )
+
+    if candidates is not None and candidates < (k * (k - 1)) // 2:
+        pair_ok = _merge_pairs_screened(
+            ku, table, family, eligible, lm_w, n_w, alpha, final,
+            int(candidates), dim,
+        )
+    else:
+        pair_ok = _merge_pairs_full(
+            ku, table, family, eligible, lm_w, n_w, alpha, final
+        )
+    i_idx = jnp.arange(k)[:, None]
+    j_idx = jnp.arange(k)[None, :]
 
     # disjoint matching: each loser j takes its smallest winner i; each winner
     # keeps only its smallest loser; a winner that is itself a loser is dropped.

@@ -129,8 +129,21 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         # G: split + merge moves
         def do_moves(args):
             table, labels, sublabels = args
+            # One shared [K, 3] log-marginal evaluation: split uses the
+            # side rows, merge the whole row (slots whose stats change in
+            # between -- split/reset-touched -- are merge-ineligible, so the
+            # shared values stay valid).
+            from .table import side_tile
+
+            lm3 = family.log_marginal(
+                side_tile(table["prior"]), table["post"], table["stats"],
+                jnp.broadcast_to(
+                    table["active"][:, None], (k_slots, 3)
+                ),
+            )
             table, labels, sublabels, any_split, touched = moves.split_move(
-                kg1, kg_pts, table, labels, sublabels, alpha, final, family
+                kg1, kg_pts, table, labels, sublabels, alpha, final, family,
+                lm=lm3,
             )
             if cfg.smart_splits:
                 # PCA + 2-means sub-label init of the affected slots
@@ -152,7 +165,8 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                 any_split, recompute, keep, (table, labels, sublabels)
             )
             table, labels, sublabels = moves.merge_move(
-                kg2, table, labels, sublabels, alpha, final, family
+                kg2, table, labels, sublabels, alpha, final, family,
+                lm_w=lm3[:, 0], candidates=cfg.merge_candidates,
             )
             return table, labels, sublabels
 

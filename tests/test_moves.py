@@ -193,3 +193,49 @@ def test_top_eigvec_matches_eigh(rng):
         lead = v[:, -1]
         dot = abs(np.dot(got[i], lead))
         assert dot > 0.999, (i, dot)
+
+
+def test_merge_screened_matches_full_on_obvious_pair():
+    """The screened merge path must find and accept the same obvious merge
+    the full scan does (identical-cluster pair is the top candidate)."""
+    d = 2
+    rng = np.random.default_rng(1)
+    cfg = DPMMConfig(k_max=8, burnout=4)
+    prior = GAUSSIAN.default_prior(d)
+    table = init_table(GAUSSIAN, prior, None, cfg, d)
+    pts = rng.normal(size=(200, d)).astype(np.float32)
+    far = rng.normal(size=(100, d)).astype(np.float32) + 50.0
+    groups = [pts[:100], pts[100:], far]
+    n = np.zeros((8, 3), np.float32)
+    sx = np.zeros((8, 3, d), np.float32)
+    sxx = np.zeros((8, 3, d, d), np.float32)
+    for i, h in enumerate(groups):
+        a, b = h[:50], h[50:]
+        n[i] = [100, 50, 50]
+        sx[i] = [h.sum(0), a.sum(0), b.sum(0)]
+        sxx[i] = [h.T @ h, a.T @ a, b.T @ b]
+    table = {
+        **table,
+        "active": jnp.asarray([True] * 3 + [False] * 5),
+        "splittable": jnp.asarray([True] * 3 + [False] * 5),
+        "stats": {"n": jnp.asarray(n), "sum_x": jnp.asarray(sx),
+                  "sum_xx": jnp.asarray(sxx)},
+    }
+    table = compute_posteriors(GAUSSIAN, table)
+    # screened path needs sampled params for the screen score
+    import dpmmsubclusters_tpu.sampler.moves as mv
+    table = mv.sample_params_step(
+        jax.random.PRNGKey(0), table, 10.0, 0.0, GAUSSIAN
+    )
+    table = {**table, "splittable": jnp.asarray([True] * 3 + [False] * 5)}
+    labels = jnp.asarray([0] * 100 + [1] * 100 + [2] * 100, jnp.int32)
+    sublabels = jnp.asarray(([0] * 50 + [1] * 50) * 3, jnp.int32)
+    t2, l2, _ = moves.merge_move(
+        jax.random.PRNGKey(3), table, labels, sublabels, 10.0,
+        jnp.asarray(False), GAUSSIAN, candidates=2,
+    )
+    active = np.asarray(t2["active"])
+    assert active.sum() == 2  # slots 0,1 merged; far slot 2 untouched
+    l2 = np.asarray(l2)
+    assert len(np.unique(l2[:200])) == 1
+    assert np.all(l2[200:] == 2)
