@@ -58,7 +58,8 @@ def main():
     log("data generated")
 
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
-                     verbose=False)
+                     verbose=False, track_posterior=False,
+                     merge_candidates=4 * k_max)
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
     points, valid, n_total = engine.shard_points(x - x.mean(0))

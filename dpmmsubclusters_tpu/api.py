@@ -261,7 +261,8 @@ def fit(
     if prior is None:
         prior = fam.default_prior(d)
     else:
-        prior = jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), prior)
+        # per-key conversion: tree.map would descend into list-valued entries
+        prior = {k: jnp.asarray(v, jnp.float32) for k, v in prior.items()}
 
     if mesh is None:
         mesh = make_data_mesh(n_devices)
@@ -275,7 +276,8 @@ def fit(
         prior = fam.shift_prior(prior, -jnp.asarray(shift))
         if outlier_prior is not None:
             outlier_prior = fam.shift_prior(
-                jax.tree.map(lambda a: jnp.asarray(a, jnp.float32), outlier_prior),
+                {k: jnp.asarray(v, jnp.float32)
+                 for k, v in outlier_prior.items()},
                 -jnp.asarray(shift),
             )
     else:

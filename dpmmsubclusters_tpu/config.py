@@ -38,6 +38,8 @@ class DPMMConfig:
     merge_candidates: Optional[int] = None  # None = exact all-pairs merge
     # scan; an int M evaluates only the top-M screen-score pairs (O(M)
     # Cholesky work instead of O(K^2))
+    track_posterior: bool = True    # per-sweep log-posterior metric (the
+    # reference computes it only when verbose, dp-parallel-sampling.jl:379)
 
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None

@@ -182,7 +182,11 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
 
         metrics = {
             "k": active_count(table),
-            "log_posterior": log_posterior(family, table, alpha, n_total),
+            "log_posterior": (
+                log_posterior(family, table, alpha, n_total)
+                if cfg.track_posterior
+                else jnp.float32(0.0)
+            ),
         }
         return table, labels, sublabels, key, metrics
 

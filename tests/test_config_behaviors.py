@@ -1,0 +1,84 @@
+"""Behavioral tests for the reference's config knobs
+(src/global_params.jl): hard clustering, final-iteration argmax,
+outlier component, k_max overflow, multinomial predict."""
+import numpy as np
+import pytest
+
+import dpmmsubclusters_tpu as dpmm
+from tests.test_fit_e2e import four_corners
+
+
+def test_hard_clustering_runs_and_recovers():
+    """hard_clustering=True uses argmax assignments from iteration 1
+    (reference src/local_clusters_actions.jl:112-118)."""
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=60, seed=2, verbose=False,
+                   burnout=5, hard_clustering=True)
+    assert res.k >= 2  # argmax from the start still lets splits work
+    # hard assignments: every point deterministically on its argmax cluster
+    pred, _ = res.predict(x)
+    assert dpmm.nmi(pred, res.labels) > 0.999
+
+
+def test_final_iterations_are_argmax():
+    """During the last argmax_sample_stop iterations labels are argmax, so a
+    second predict pass reproduces them exactly (the golden test's
+    predict==labels assertion relies on this, test/module_tests.jl:28)."""
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=80, seed=3, verbose=False, burnout=5)
+    pred, _ = res.predict(x)
+    assert np.array_equal(pred, res.labels)
+
+
+def test_outlier_component_attracts_outliers():
+    """outlier_mod > 0 keeps a fixed-weight outlier slot with a broad prior
+    (reference src/global_params.jl:27-31, init_first_clusters!)."""
+    x, gt = four_corners(400)
+    rng = np.random.default_rng(0)
+    outliers = rng.uniform(-50, 50, size=(20, 2)).astype(np.float32)
+    data = np.concatenate([x, outliers])
+    res = dpmm.fit(
+        data, alpha=100.0, iters=80, seed=4, verbose=False, burnout=5,
+        outlier_mod=0.05,
+        outlier_prior={"kappa": 1.0, "m": [0.0, 0.0], "nu": 5.0,
+                       "psi": [[600.0, 0.0], [0.0, 600.0]]},
+    )
+    # outlier slot is slot 0; corners still found among the rest
+    assert res.k >= 4
+    # most real corner points NOT assigned to the outlier slot
+    raw = res.model.labels_raw
+    assert (raw[:400] == 0).mean() < 0.2
+    # a good share of the uniform outliers land in the outlier slot
+    assert (raw[400:] == 0).mean() > 0.5
+
+
+def test_k_max_overflow_suppresses_splits():
+    """When the table fills, further splits are dropped (free-slot rank
+    guard) instead of corrupting state."""
+    x, gt, _, _ = dpmm.generate_gaussian_data(2_000, 2, 8, 80.0, seed=1)
+    res = dpmm.fit(x, alpha=10.0, iters=60, seed=1, verbose=False,
+                   burnout=3, k_max=4)
+    assert 1 <= res.k <= 4
+
+
+def test_multinomial_predict_and_stats():
+    x, gt, _ = dpmm.generate_mnmm_data(1_500, 12, 3, 40, seed=2)
+    res = dpmm.fit(x, alpha=1.0, family="multinomial", iters=50, seed=5,
+                   verbose=False, burnout=5)
+    pred, probs = res.predict(x)
+    assert probs.shape == (1500, res.k)
+    np.testing.assert_allclose(probs.sum(1), 1.0, rtol=1e-4)
+    assert dpmm.nmi(pred, res.labels) > 0.95
+    avg_ll, avg_prob = res.model.cluster_statistics(x, res.labels)
+    assert len(avg_ll) == res.k
+    assert np.all(avg_prob > 0.3)
+
+
+def test_merge_candidates_config_end_to_end():
+    """Screened merge (merge_candidates) produces the same clustering on the
+    golden dataset."""
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=80, seed=6, verbose=False,
+                   burnout=5, merge_candidates=8)
+    assert res.k == 4
+    assert dpmm.nmi(gt, res.labels) > 0.999
