@@ -85,17 +85,28 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
 
 def reset_bad(key_pts, table, labels, sublabels):
     """Clusters with an empty sub-cluster get their history reset and their
-    points' sub-labels re-randomized (local_clusters_actions.jl:481-516)."""
+    points' sub-labels re-randomized (local_clusters_actions.jl:481-516).
+
+    The O(N) sub-label rewrite only runs (lax.cond) when some slot is bad.
+    """
     n = table["stats"]["n"]
     bad = table["active"] & ((n[:, 1] == 0) | (n[:, 2] == 0))
     hist = jnp.where(bad[:, None], NEG_INF, table["hist"])
     splittable = table["splittable"] & ~bad
+    any_bad = jnp.any(bad)
 
-    redo = jnp.take(bad, labels)
-    fresh = jax.random.bernoulli(key_pts, 0.5, labels.shape).astype(jnp.int32)
-    sublabels = jnp.where(redo, fresh, sublabels)
+    def rewrite(sub):
+        redo = jnp.take(bad, labels)
+        fresh = jax.random.bernoulli(
+            key_pts, 0.5, labels.shape
+        ).astype(jnp.int32)
+        return jnp.where(redo, fresh, sub)
+
+    sublabels = jax.lax.cond(
+        any_bad, rewrite, lambda sub: sub, sublabels
+    )
     table = {**table, "hist": hist, "splittable": splittable}
-    return table, sublabels, jnp.any(bad)
+    return table, sublabels, any_bad
 
 
 def _scatter_rows(arr, dst, src_rows):
@@ -161,13 +172,22 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
     )
     new_slot = jnp.take(slot_of_rank, jnp.clip(rank, 0, k - 1))
 
-    # rewrite labels: right-side points of accepted slots move to the new slot
-    acc_pt = jnp.take(accept, labels)
-    new_pt = jnp.take(new_slot, labels)
-    labels = jnp.where(acc_pt & (sublabels == 1), new_pt, labels)
-    # re-randomize sub-labels of all points of the affected (old+new) slots
-    fresh = jax.random.bernoulli(key_pts, 0.5, labels.shape).astype(jnp.int32)
-    sublabels = jnp.where(acc_pt, fresh, sublabels)
+    # rewrite labels: right-side points of accepted slots move to the new
+    # slot; re-randomize sub-labels of all points of the affected slots.
+    # O(N) work, so skipped (lax.cond) when no split was accepted.
+    def rewrite(ops):
+        labels, sublabels = ops
+        acc_pt = jnp.take(accept, labels)
+        new_pt = jnp.take(new_slot, labels)
+        labels = jnp.where(acc_pt & (sublabels == 1), new_pt, labels)
+        fresh = jax.random.bernoulli(
+            key_pts, 0.5, labels.shape
+        ).astype(jnp.int32)
+        return labels, jnp.where(acc_pt, fresh, sublabels)
+
+    labels, sublabels = jax.lax.cond(
+        jnp.any(accept), rewrite, lambda ops: ops, (labels, sublabels)
+    )
 
     dst = jnp.where(accept, new_slot, k)
     new_mask = (
@@ -381,12 +401,19 @@ def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
     )
 
     # labels / sub-labels  (merge_clusters_worker!, :293-304)
-    pt_loser = jnp.take(kept, labels)
-    pt_winner_slot = jnp.take(winner, labels)
-    sublabels = jnp.where(
-        pt_loser, 1, jnp.where(jnp.take(kept_winner, labels), 0, sublabels)
+    def rewrite(ops):
+        labels, sublabels = ops
+        pt_loser = jnp.take(kept, labels)
+        pt_winner_slot = jnp.take(winner, labels)
+        sublabels = jnp.where(
+            pt_loser, 1,
+            jnp.where(jnp.take(kept_winner, labels), 0, sublabels),
+        )
+        return jnp.where(pt_loser, pt_winner_slot, labels), sublabels
+
+    labels, sublabels = jax.lax.cond(
+        jnp.any(kept), rewrite, lambda ops: ops, (labels, sublabels)
     )
-    labels = jnp.where(pt_loser, pt_winner_slot, labels)
 
     # stats surgery (merge_clusters_to_splittable, shared_actions.jl:12-18)
     flat3 = family.stats_to_flat(table["stats"])  # [K, 3, S]
