@@ -1,0 +1,112 @@
+"""Multi-config benchmark suite (the 5 BASELINE.json workloads).
+
+Usage:
+    python benchmarks/suite.py                # all fast configs
+    python benchmarks/suite.py 2d mnm seg     # subset
+    python benchmarks/suite.py flagship huge  # the big ones
+
+Prints one human-readable row per config plus a JSON line each (stderr
+carries progress).  The driver-facing single-number benchmark stays in
+bench.py (flagship sweep throughput).
+
+Reference numbers to beat (BASELINE.md):
+  2d:  10k x 2, 100 iters   -- 1.068 s total on the reference dev machine
+  seg: ~446k x 5, 300 iters -- ~77 s total on 4 worker procs
+"""
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def run_config(name, fit_kwargs, data, gt=None, warm=True):
+    import dpmmsubclusters_tpu as dpmm
+
+    if warm:
+        # first run pays the jit compile; report the warm second run
+        # (the reference's numbers likewise exclude Julia's JIT warmup)
+        dpmm.fit(data, verbose=False, **fit_kwargs)
+    t0 = time.perf_counter()
+    res = dpmm.fit(data, verbose=False, **fit_kwargs)
+    total = time.perf_counter() - t0
+    iters = fit_kwargs.get("iters", 100)
+    out = {
+        "config": name,
+        "n": len(data),
+        "d": int(data.shape[1]),
+        "iters": iters,
+        "total_s": round(total, 3),
+        "ms_per_sweep": round(total / iters * 1e3, 2),
+        "pts_per_s": round(len(data) * iters / total, 1),
+        "k_found": int(res.k),
+    }
+    if gt is not None:
+        out["nmi"] = round(dpmm.nmi(gt, res.labels), 4)
+    print(json.dumps(out), flush=True)
+    return out
+
+
+def main(which):
+    import dpmmsubclusters_tpu as dpmm
+
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", "/root/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    print(f"devices: {jax.devices()}", file=sys.stderr, flush=True)
+
+    if "2d" in which:
+        # reference getting_started benchmark: 1.068 s total
+        x, gt, _, _ = dpmm.generate_gaussian_data(10_000, 2, 6, 100.0, seed=0)
+        run_config("2d_gaussian_10k", dict(alpha=10.0, iters=100, seed=1,
+                                           k_max=32), x, gt)
+
+    if "mnm" in which:
+        x, gt, _ = dpmm.generate_mnmm_data(50_000, 100, 10, 120, seed=0)
+        run_config(
+            "multinomial_50k_d100",
+            dict(alpha=1.0, iters=100, seed=1, family="multinomial",
+                 k_max=32),
+            x, gt,
+        )
+
+    if "seg" in which:
+        sys.path.insert(0, "examples")
+        from image_segmentation import synthetic_image
+
+        feats, gt = synthetic_image(h=871, w=512)  # ~446k pixels
+        run_config("image_seg_446k_d5",
+                   dict(alpha=10.0, iters=300, seed=1, k_max=64), feats, gt)
+
+    if "flagship" in which:
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal((64, 32)).astype(np.float32) * 8.0
+        lab = rng.integers(0, 64, size=1_000_000)
+        x = means[lab] + rng.standard_normal((1_000_000, 32)).astype(np.float32)
+        run_config(
+            "gaussian_1M_d32",
+            dict(alpha=10.0, iters=60, seed=1, k_max=128, burnout=5,
+                 track_posterior=False, merge_candidates=512),
+            x, lab,
+        )
+
+    if "huge" in which:
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal((100, 64)).astype(np.float32) * 8.0
+        lab = rng.integers(0, 100, size=10_000_000)
+        x = means[lab] + rng.standard_normal((10_000_000, 64)).astype(np.float32)
+        run_config(
+            "gaussian_10M_d64",
+            dict(alpha=10.0, iters=30, seed=1, k_max=192, burnout=5,
+                 track_posterior=False, merge_candidates=768),
+            x, lab,
+        )
+
+
+if __name__ == "__main__":
+    args = sys.argv[1:] or ["2d", "mnm", "seg"]
+    main(args)

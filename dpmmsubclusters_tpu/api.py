@@ -32,6 +32,22 @@ from .io.checkpoint import load_checkpoint, save_checkpoint
 
 _FAMILIES = {"gaussian": GAUSSIAN, "multinomial": MULTINOMIAL}
 
+# Engines are cached per (family, config, mesh): each DPMMEngine owns fresh
+# jit closures, so rebuilding one per fit() call would retrace and re-fetch
+# every compiled program (slow over remote-compile backends).
+_ENGINE_CACHE: dict = {}
+
+
+def _get_engine(fam, cfg: DPMMConfig, mesh) -> DPMMEngine:
+    key = (fam.name, cfg, tuple(d.id for d in mesh.devices.flat))
+    eng = _ENGINE_CACHE.get(key)
+    if eng is None:
+        eng = DPMMEngine(fam, cfg, mesh)
+        if len(_ENGINE_CACHE) > 8:
+            _ENGINE_CACHE.clear()
+        _ENGINE_CACHE[key] = eng
+    return eng
+
 
 def _resolve_family(family, prior):
     if family is None:
@@ -48,8 +64,12 @@ def _round_up(n: int, m: int) -> int:
 
 
 def _effective_chunk(cfg: DPMMConfig, n: int, n_dev: int) -> int:
+    """Per-device scan chunk: multiple of 512 so the Pallas point tiles
+    divide it evenly (see sampler.assign.pick_tile)."""
     per_dev = -(-n // n_dev)
-    return max(8, min(cfg.chunk_size, _round_up(per_dev, 8)))
+    return max(
+        512, min(_round_up(cfg.chunk_size, 512), _round_up(per_dev, 512))
+    )
 
 
 @dataclasses.dataclass
@@ -283,7 +303,7 @@ def fit(
     else:
         shift = np.zeros(d, np.float32)
 
-    engine = DPMMEngine(fam, cfg, mesh)
+    engine = _get_engine(fam, cfg, mesh)
     points, valid, n_total = engine.shard_points(x)
     seed = cfg.seed if cfg.seed is not None else np.random.randint(0, 2**31 - 1)
     key = jax.random.PRNGKey(seed)
@@ -361,7 +381,7 @@ def fit_distributed(
         chunk_size=_effective_chunk(cfg, max(n_local, 1) * jax.process_count(),
                                     n_dev)
     )
-    engine = DPMMEngine(fam, cfg, mesh)
+    engine = _get_engine(fam, cfg, mesh)
     points, valid, n_global = dist.shard_points_global(
         x, mesh, cfg.chunk_size
     )
@@ -453,7 +473,7 @@ def run_from_checkpoint(
     n_dev = int(np.prod(mesh.devices.shape))
     cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n, n_dev))
 
-    engine = DPMMEngine(fam, cfg, mesh)
+    engine = _get_engine(fam, cfg, mesh)
     points, valid, n_total = engine.shard_points(x)
     n_pad = points.shape[0]
 

@@ -108,6 +108,20 @@ def assign_and_stats(
     return labels.reshape(-1), sublabels.reshape(-1), stats_lr
 
 
+def pick_tile(chunk: int, d: int, k_slots: int, f: int) -> int:
+    """Largest point-tile that divides ``chunk`` and fits the kernel's VMEM
+    working set (feat + ll + one-hots + phi + stats accumulator) in budget."""
+    budget = 10 * 1024 * 1024
+    fixed = 4 * (f * 3 * k_slots + 2 * k_slots * f)  # phi + stats acc
+    for tile in (512, 256, 128, 64, 32, 16, 8):
+        if chunk % tile:
+            continue
+        per_row = 4 * (d + f + 3 * k_slots + 4 * k_slots + 2)
+        if fixed + tile * per_row <= budget:
+            return tile
+    return 8
+
+
 def _assign_and_stats_pallas(
     key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
     interpret: bool,
@@ -119,7 +133,7 @@ def _assign_and_stats_pallas(
 
     k_slots = phi.shape[0]
     f = phi.shape[-1]
-    tile = 512 if chunk % 512 == 0 else chunk
+    tile = pick_tile(chunk, x.shape[-1], k_slots, f)
     phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(f, 3 * k_slots)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
     labels, sub, stats2k = pallas_sweep.fused_assign(
@@ -148,7 +162,9 @@ def stats_only(
     if use_pallas:
         from ..ops import pallas_sweep
 
-        tile = 512 if chunk % 512 == 0 else chunk
+        tile = pick_tile(
+            chunk, x.shape[-1], k_slots, family.feature_dim(x.shape[-1])
+        )
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
             k_slots=k_slots, family_name=family.name, tile=tile,

@@ -1,0 +1,66 @@
+"""Real multi-process fit_distributed test: 2 processes x 2 CPU devices,
+cross-process collectives -- the closest single-machine analog of the
+reference's ``addprocs(2)`` double-run (test/runtests.jl:8-22)."""
+import os
+import subprocess
+import sys
+
+import pytest
+
+_WORKER = r"""
+import sys
+proc = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:12987", 2, proc)
+import numpy as np
+import dpmmsubclusters_tpu as dpmm
+
+n = 1000
+x = np.zeros((n, 2), np.float32)
+gt = np.zeros(n, np.int64)
+for i, c in enumerate([[10, 10], [-10, 10], [10, -10], [-10, -10]]):
+    x[i * 250 : (i + 1) * 250] = c
+    gt[i * 250 : (i + 1) * 250] = i
+# each process contributes interleaved halves
+x_local = x[proc::2]
+res = dpmm.fit_distributed(x_local, alpha=100.0, iters=80, seed=6, burnout=5)
+assert res.k == 4, res.k
+assert dpmm.nmi(gt[proc::2], res.labels) > 0.999
+print(f"proc {proc}: OK K={res.k}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_fit(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
+    env.pop("JAX_PLATFORMS", None)
+    procs = [
+        subprocess.Popen(
+            [sys.executable, str(script), str(i)],
+            stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
+            env=env, text=True,
+        )
+        for i in range(2)
+    ]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=600)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            pytest.fail("multi-process fit timed out")
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        if p.returncode != 0:
+            if "gloo" in out.lower() or "collectives" in out.lower():
+                pytest.skip(f"CPU cross-process collectives unavailable: "
+                            f"{out[-500:]}")
+            pytest.fail(f"proc {i} failed:\n{out[-3000:]}")
+        assert f"proc {i}: OK" in out
