@@ -32,6 +32,26 @@ from .io.checkpoint import load_checkpoint, save_checkpoint
 
 _FAMILIES = {"gaussian": GAUSSIAN, "multinomial": MULTINOMIAL}
 
+
+def _tier_setup(fam, cfg: DPMMConfig, mesh, k_start: Optional[int] = None):
+    """Resolve the (initial engine, engine_fn, k_ceiling) triple for adaptive
+    table-capacity tiers (see sampler.driver.desired_tier); single fixed
+    engine when tiering is off."""
+    from .sampler.driver import desired_tier, tier_sequence
+
+    if not cfg.resolved_auto_tier():
+        return _get_engine(fam, cfg, mesh), None, None
+    tiers = tier_sequence(cfg.k_max)
+    if k_start is None:
+        init_active = cfg.init_clusters + (1 if cfg.outlier_mod > 0 else 0)
+        k_start = desired_tier(init_active, tiers[0], tiers)
+    engine = _get_engine(fam, cfg.replace(k_max=int(k_start)), mesh)
+    return (
+        engine,
+        lambda k: _get_engine(fam, cfg.replace(k_max=int(k)), mesh),
+        cfg.k_max,
+    )
+
 # Engines are cached per (family, config, mesh): each DPMMEngine owns fresh
 # jit closures, so rebuilding one per fit() call would retrace and re-fetch
 # every compiled program (slow over remote-compile backends).
@@ -303,7 +323,7 @@ def fit(
     else:
         shift = np.zeros(d, np.float32)
 
-    engine = _get_engine(fam, cfg, mesh)
+    engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
     points, valid, n_total = engine.shard_points(x)
     seed = cfg.seed if cfg.seed is not None else np.random.randint(0, 2**31 - 1)
     key = jax.random.PRNGKey(seed)
@@ -321,6 +341,7 @@ def fit(
         engine, state, points, valid, n_total, cfg.iters,
         gt=np.asarray(gt) if gt is not None else None,
         n_valid=n, callback=callback,
+        engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
     model = _model_from_state(fam, cfg, state, shift, n)
     return FitResult(model=model, history=hist)
@@ -381,7 +402,7 @@ def fit_distributed(
         chunk_size=_effective_chunk(cfg, max(n_local, 1) * jax.process_count(),
                                     n_dev)
     )
-    engine = _get_engine(fam, cfg, mesh)
+    engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
     points, valid, n_global = dist.shard_points_global(
         x, mesh, cfg.chunk_size
     )
@@ -418,7 +439,8 @@ def fit_distributed(
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )
     state, hist = run_loop(
-        engine, state, points, valid, n_total, cfg.iters, verbose=False
+        engine, state, points, valid, n_total, cfg.iters, verbose=False,
+        engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
 
     table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
@@ -473,7 +495,10 @@ def run_from_checkpoint(
     n_dev = int(np.prod(mesh.devices.shape))
     cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n, n_dev))
 
-    engine = _get_engine(fam, cfg, mesh)
+    # the checkpointed table may be any capacity tier; start the engine at
+    # that width and let the tier loop (or a one-shot migration) adjust
+    k_saved = int(np.asarray(ck["table"]["active"]).shape[0])
+    engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh, k_start=k_saved)
     points, valid, n_total = engine.shard_points(x)
     n_pad = points.shape[0]
 
@@ -494,6 +519,11 @@ def run_from_checkpoint(
         key=jax.device_put(jnp.asarray(ck["key"]), replicated(mesh)),
         step=ck["step"],
     )
+    if k_saved != engine.cfg.k_max:
+        # fixed-capacity engine with a differently-sized checkpoint table
+        from .sampler.driver import TierMigrator
+
+        state = TierMigrator(fam, mesh)(state, engine.cfg.k_max)
 
     callback = None
     if cfg.enable_saving:
@@ -508,6 +538,7 @@ def run_from_checkpoint(
         first_iter=ck["step"],
         gt=np.asarray(gt) if gt is not None else None,
         n_valid=n, callback=callback,
+        engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
     model = _model_from_state(fam, cfg, state, shift, n)
     return FitResult(model=model, history=hist)

@@ -38,8 +38,18 @@ class DPMMConfig:
     merge_candidates: Optional[int] = None  # None = exact all-pairs merge
     # scan; an int M evaluates only the top-M screen-score pairs (O(M)
     # Cholesky work instead of O(K^2))
+    auto_tier: Optional[bool] = None  # adaptive table capacity: run at the
+    # smallest tier (16, 32, ..., k_max) with >=4x split headroom over the
+    # live cluster count, migrating between compiled tiers as K changes.
+    # None = on when k_max >= 64 (small tables aren't worth extra compiles)
     track_posterior: bool = True    # per-sweep log-posterior metric (the
     # reference computes it only when verbose, dp-parallel-sampling.jl:379)
+    ll_precision: str = "default"   # Pallas likelihood-matmul precision:
+    # "default" = 1 bf16 MXU pass (logit noise ~1e-3 relative -- far below
+    # the Gumbel sampling noise; ~1.5x faster kernel), "highest" = exact f32
+    stats_precision: str = "highest"  # statistics-matmul precision; the
+    # covariance suff stat cancels E[xx] - mu mu^T, so keep exact f32 unless
+    # profiling shows it matters (data centering already bounds the damage)
 
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None
@@ -53,6 +63,11 @@ class DPMMConfig:
 
     def resolved_max_clusters(self) -> float:
         return math.inf if self.max_clusters is None else self.max_clusters
+
+    def resolved_auto_tier(self) -> bool:
+        if self.auto_tier is None:
+            return self.k_max >= 64
+        return self.auto_tier
 
     def replace(self, **kw) -> "DPMMConfig":
         return dataclasses.replace(self, **kw)

@@ -77,9 +77,16 @@ def _multinomial_feature_tile(x, d: int):
     return jnp.concatenate([jnp.ones((t, 1), x.dtype), x], axis=1)
 
 
+_PRECISIONS = {
+    "default": jax.lax.Precision.DEFAULT,   # 1 bf16 pass per f32 matmul
+    "high": jax.lax.Precision.HIGH,         # 3 passes (bf16x3, ~f32-faithful)
+    "highest": jax.lax.Precision.HIGHEST,   # 6 passes (exact f32)
+}
+
+
 def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
             valid_ref, labels_ref, sub_ref, stats_ref, *, k_slots: int,
-            feat_fn, d: int):
+            feat_fn, d: int, ll_prec, stats_prec):
     i = pl.program_id(0)
     # per-tile seed: mix the host seed with the tile index
     seed_u32 = _fmix32(
@@ -90,7 +97,8 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     t = x.shape[0]
     feat = feat_fn(x, d)              # [T, F]
 
-    ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32)
+    ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32,
+                 precision=ll_prec)
     # columns: [whole K | left K | right K]
     ll_w = ll[:, :k_slots]
     ll_l = ll[:, k_slots : 2 * k_slots]
@@ -133,6 +141,7 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
         ohs, feat,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=stats_prec,
     )                                                            # [2K, F]
 
     @pl.when(i == 0)
@@ -145,7 +154,7 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
 
 
 def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
-                  k_slots: int, feat_fn, d: int):
+                  k_slots: int, feat_fn, d: int, stats_prec):
     i = pl.program_id(0)
     x = x_ref[:]
     t = x.shape[0]
@@ -162,6 +171,7 @@ def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
         ohs, feat,
         dimension_numbers=(((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
+        precision=stats_prec,
     )
 
     @pl.when(i == 0)
@@ -175,11 +185,12 @@ def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_slots", "family_name", "tile", "interpret"),
+    static_argnames=("k_slots", "family_name", "tile", "interpret",
+                     "precision"),
 )
 def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
                       family_name: str, tile: int = 512,
-                      interpret: bool = False):
+                      interpret: bool = False, precision: str = "highest"):
     """Statistics-only kernel: given labels/sub-labels, accumulate the
     [2K, F] per-(slot, side) statistics (the recompute passes after split
     moves and bad-cluster resets)."""
@@ -193,7 +204,8 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     f = (1 + d + d * (d + 1) // 2) if family_name == "gaussian" else (1 + d)
 
     kernel = functools.partial(
-        _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d
+        _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
+        stats_prec=_PRECISIONS[precision],
     )
     (stats,) = pl.pallas_call(
         kernel,
@@ -225,11 +237,13 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
 
 @functools.partial(
     jax.jit,
-    static_argnames=("k_slots", "family_name", "tile", "interpret"),
+    static_argnames=("k_slots", "family_name", "tile", "interpret",
+                     "ll_precision", "stats_precision"),
 )
 def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
                  k_slots: int, family_name: str, tile: int = 512,
-                 interpret: bool = False):
+                 interpret: bool = False, ll_precision: str = "highest",
+                 stats_precision: str = "highest"):
     """Fused assignment + statistics pass.
 
     Args:
@@ -255,7 +269,9 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
     )
 
     kernel = functools.partial(
-        _kernel, k_slots=k_slots, feat_fn=feat_fn, d=d
+        _kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
+        ll_prec=_PRECISIONS[ll_precision],
+        stats_prec=_PRECISIONS[stats_precision],
     )
     labels, sub, stats = pl.pallas_call(
         kernel,

@@ -49,12 +49,14 @@ def assign_and_stats(
     chunk: int,
     use_pallas: bool = False,
     interpret: bool = False,
+    ll_precision: str = "highest",
+    stats_precision: str = "highest",
 ):
     """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S])."""
     if use_pallas:
         return _assign_and_stats_pallas(
             key, x, valid, phi, log_w, log_lrw, hard, family, chunk,
-            interpret,
+            interpret, ll_precision, stats_precision,
         )
     k_slots = phi.shape[0]
     f = phi.shape[-1]
@@ -124,7 +126,8 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int) -> int:
 
 def _assign_and_stats_pallas(
     key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
-    interpret: bool,
+    interpret: bool, ll_precision: str = "highest",
+    stats_precision: str = "highest",
 ):
     """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
     layouts: phi [K, 3, F] -> [F, 3K] side-major columns; stats [2K, F] ->
@@ -144,6 +147,8 @@ def _assign_and_stats_pallas(
         family_name=family.name,
         tile=tile,
         interpret=interpret,
+        ll_precision=ll_precision,
+        stats_precision=stats_precision,
     )
     stats_lr = jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
     return labels, sub, stats_lr
@@ -152,6 +157,7 @@ def _assign_and_stats_pallas(
 def stats_only(
     x, valid, labels, sublabels, k_slots: int, family, chunk: int,
     use_pallas: bool = False, interpret: bool = False,
+    stats_precision: str = "highest",
 ):
     """Recompute per-(slot, side) statistics from given labels/sub-labels.
 
@@ -168,7 +174,7 @@ def stats_only(
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
             k_slots=k_slots, family_name=family.name, tile=tile,
-            interpret=interpret,
+            interpret=interpret, precision=stats_precision,
         )
         return jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
     s = family.stat_dim(x.shape[-1])

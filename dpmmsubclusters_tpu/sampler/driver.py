@@ -38,6 +38,62 @@ def _round_up(n: int, m: int) -> int:
     return ((n + m - 1) // m) * m
 
 
+def tier_sequence(k_max: int) -> list:
+    """Capacity tiers: powers of two from 16 up to (and including) k_max."""
+    tiers = []
+    t = 16
+    while t < k_max:
+        tiers.append(t)
+        t *= 2
+    tiers.append(k_max)
+    return tiers
+
+
+def desired_tier(k_act: int, cur: int, tiers: list) -> int:
+    """Pick the table capacity for the next block of sweeps.
+
+    Grow when split headroom drops under 4x the live cluster count (splits
+    can at most double K per burnout window, and capacity overflow only
+    suppresses splits for a block); shrink only when capacity exceeds 16x
+    (to >= 8x) so the two thresholds never flap.
+    """
+    k_act = max(k_act, 1)
+    if 4 * k_act > cur:
+        cands = [t for t in tiers if t >= 4 * k_act]
+        return cands[0] if cands else tiers[-1]
+    if 16 * k_act <= cur:
+        cands = [t for t in tiers if t >= 8 * k_act]
+        t = cands[0] if cands else tiers[-1]
+        if t < cur:
+            return t
+    return cur
+
+
+class TierMigrator:
+    """Jitted table-capacity migration: compact + resize the replicated
+    table and remap the sharded labels through the slot LUT."""
+
+    def __init__(self, family, mesh):
+        from .table import retier
+
+        def _mig(table, labels, k_new):
+            table2, lut = retier(family, table, k_new)
+            return table2, jnp.take(lut, labels)
+
+        self._fn = jax.jit(
+            _mig,
+            static_argnums=(2,),
+            out_shardings=(replicated(mesh), data_sharding(mesh)),
+            donate_argnums=(1,),  # labels keep their shape; the table doesn't
+        )
+
+    def __call__(self, state: "DPMMState", k_new: int) -> "DPMMState":
+        table, labels = self._fn(state.table, state.labels, k_new)
+        return DPMMState(table=table, labels=labels,
+                         sublabels=state.sublabels, key=state.key,
+                         step=state.step)
+
+
 @dataclasses.dataclass
 class DPMMState:
     """The complete sampler state (a pytree of device arrays)."""
@@ -122,6 +178,7 @@ class DPMMEngine:
             stats_lr = assign_mod.stats_only(
                 points, valid, labels, sublabels, k_max, family, chunk,
                 use_pallas=use_pallas, interpret=interpret,
+                stats_precision=cfg.stats_precision,
             )
             stats_lr = jax.lax.psum(stats_lr, DATA_AXIS)
             return assign_mod.lr_to_full(stats_lr)
@@ -151,6 +208,7 @@ class DPMMEngine:
                     assign_mod.stats_only(
                         points, valid, labels, sub, k_max, family, chunk,
                         use_pallas=use_pallas, interpret=interpret,
+                        stats_precision=cfg.stats_precision,
                     ),
                     DATA_AXIS,
                 )
@@ -314,14 +372,36 @@ def run_loop(
     n_valid: Optional[int] = None,
     callback: Optional[Callable] = None,
     verbose: Optional[bool] = None,
+    engine_fn: Optional[Callable[[int], "DPMMEngine"]] = None,
+    k_ceiling: Optional[int] = None,
 ) -> tuple[DPMMState, IterStats]:
     """The training loop (reference ``run_model``,
-    src/dp-parallel-sampling.jl:336-404)."""
+    src/dp-parallel-sampling.jl:336-404).
+
+    ``engine_fn`` (with ``k_ceiling``) enables adaptive capacity tiers: the
+    loop checks the live cluster count at block boundaries and migrates the
+    table to the smallest tier with split headroom (every per-sweep cost is
+    O(table width); see ``desired_tier``).  All tier decisions derive from
+    the replicated K metric, so multi-process runs migrate identically.
+    """
     cfg = engine.cfg
     verbose = cfg.verbose if verbose is None else verbose
     hist = IterStats.empty()
     max_k = cfg.resolved_max_clusters()
     k_now = int(np.asarray(jax.device_get(state.table["active"])).sum())
+
+    tiers = migrator = None
+    if engine_fn is not None:
+        tiers = tier_sequence(k_ceiling if k_ceiling is not None else cfg.k_max)
+        migrator = TierMigrator(engine.family, engine.mesh)
+
+    def tier_step(state, engine, k_now):
+        cur = int(np.asarray(state.table["active"]).shape[0])
+        want = desired_tier(k_now, cur, tiers)
+        if want != cur:
+            state = migrator(state, want)
+            engine = engine_fn(want)
+        return state, engine
 
     # Per-iteration host syncs cost a full round trip on tunneled/remote
     # backends; only pay for them when something host-side actually consumes
@@ -345,8 +425,12 @@ def run_loop(
                 state, points, valid, n_total, finals, nms
             )
             metrics_buf.append(metrics)
-            hist.times.extend([(time.perf_counter() - t0) / b] * b)
             it += b
+            if migrator is not None and it < iters:
+                # one-scalar host sync per block; tier for the next block
+                k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
+                state, engine = tier_step(state, engine, k_now)
+            hist.times.extend([(time.perf_counter() - t0) / b] * b)
         fetched = jax.device_get(metrics_buf)
         for m in fetched:
             hist.k.extend(np.asarray(m["k"]).tolist())
@@ -355,6 +439,8 @@ def run_loop(
 
     for it in range(first_iter, iters):
         t0 = time.perf_counter()
+        if migrator is not None:
+            state, engine = tier_step(state, engine, k_now)
         final = it >= iters - cfg.argmax_sample_stop
         no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)
         state, metrics = engine.step(

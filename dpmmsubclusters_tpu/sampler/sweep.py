@@ -72,6 +72,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             stats_lr = assign_mod.stats_only(
                 points, valid, labels, sublabels, k_slots, family, chunk,
                 use_pallas=use_pallas, interpret=interpret,
+                stats_precision=cfg.stats_precision,
             )
             if axis_name is not None:
                 stats_lr = jax.lax.psum(stats_lr, axis_name)
@@ -108,6 +109,8 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             chunk,
             use_pallas=use_pallas,
             interpret=interpret,
+            ll_precision=cfg.ll_precision,
+            stats_precision=cfg.stats_precision,
         )
         if axis_name is not None:
             stats_lr = jax.lax.psum(stats_lr, axis_name)

@@ -98,6 +98,58 @@ def active_count(table) -> jax.Array:
     return jnp.sum(table["active"].astype(jnp.int32))
 
 
+def retier(family, table, k_new: int):
+    """Compact active slots to the front and resize the table to ``k_new``.
+
+    The adaptive-capacity counterpart of the reference's label-renumbering
+    compaction (``src/local_clusters_actions.jl:446-471``): every per-sweep
+    cost is O(table width), so the engine runs at the smallest capacity tier
+    with split headroom and migrates up/down as K changes (see
+    ``driver.run_loop``).  Returns ``(table, lut)`` where ``lut`` maps old
+    slot ids to new ones (apply to labels with ``jnp.take``).
+
+    Caller guarantees ``k_new >= #active``.  Slot order is preserved, so the
+    outlier component keeps slot 0.
+    """
+    k_old = table["active"].shape[0]
+    act = table["active"]
+    order = jnp.argsort(~act, stable=True)
+    lut = (
+        jnp.zeros((k_old,), jnp.int32)
+        .at[order]
+        .set(jnp.arange(k_old, dtype=jnp.int32))
+    )
+    # donor row for padded prior/params rows: any active non-outlier slot
+    # (all real slots carry the same base prior; split only copies it).
+    # Falls back to slot 0 when only the outlier is active.
+    real = act & ~table["is_outlier"]
+    donor = jnp.where(jnp.any(real), jnp.argmax(real), jnp.argmax(act))
+
+    def remap(a, fill):
+        g = jnp.take(a, order, axis=0)
+        if k_new <= k_old:
+            return g[:k_new]
+        pad_shape = (k_new - k_old,) + a.shape[1:]
+        if fill == "donor":
+            pad = jnp.broadcast_to(a[donor][None], pad_shape)
+        else:
+            pad = jnp.full(pad_shape, fill, a.dtype)
+        return jnp.concatenate([g, pad], axis=0)
+
+    new = {
+        "active": remap(table["active"], False),
+        "is_outlier": remap(table["is_outlier"], False),
+        "prior": jax.tree.map(lambda a: remap(a, "donor"), table["prior"]),
+        "stats": jax.tree.map(lambda a: remap(a, 0.0), table["stats"]),
+        "params": jax.tree.map(lambda a: remap(a, "donor"), table["params"]),
+        "lr_weights": remap(table["lr_weights"], 0.5),
+        "log_weights": remap(table["log_weights"], NEG_INF),
+        "hist": remap(table["hist"], NEG_INF),
+        "splittable": remap(table["splittable"], False),
+    }
+    return compute_posteriors(family, new), lut
+
+
 def whole_stats(table):
     return jax.tree.map(lambda a: a[:, 0], table["stats"])
 
