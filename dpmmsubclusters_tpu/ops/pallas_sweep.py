@@ -153,34 +153,46 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
         stats_ref[:] = stats_ref[:] + contrib
 
 
-def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
-                  k_slots: int, feat_fn, d: int, stats_prec):
+def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
+                  stats_ref, *, k_slots: int, feat_fn, d: int, stats_prec):
     i = pl.program_id(0)
-    x = x_ref[:]
-    t = x.shape[0]
-    feat = feat_fn(x, d)
-    labels = labels_ref[:]                                       # [T, 1]
-    col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
-    oh = (labels == col).astype(jnp.float32)
-    v = valid_ref[:].astype(jnp.float32)                         # [T, 1]
-    s_f = sub_ref[:].astype(jnp.float32)                         # [T, 1]
-    wl = oh * ((1.0 - s_f) * v)
-    wr = oh * (s_f * v)
-    ohs = jnp.concatenate([wl, wr], axis=1)
-    contrib = jax.lax.dot_general(
-        ohs, feat,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=stats_prec,
-    )
+    enabled = enable_ref[0] > 0
 
-    @pl.when(i == 0)
+    # The enable flag makes the whole pass a cheap no-op (grid + DMA only).
+    # XLA:TPU tends to flatten lax.cond around a kernel into execute-both-
+    # and-select, so callers gate the recompute HERE, where predication is
+    # guaranteed, instead of wrapping the call in lax.cond.
+    @pl.when(enabled)
     def _():
-        stats_ref[:] = contrib
+        x = x_ref[:]
+        t = x.shape[0]
+        feat = feat_fn(x, d)
+        labels = labels_ref[:]                                   # [T, 1]
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
+        oh = (labels == col).astype(jnp.float32)
+        v = valid_ref[:].astype(jnp.float32)                     # [T, 1]
+        s_f = sub_ref[:].astype(jnp.float32)                     # [T, 1]
+        wl = oh * ((1.0 - s_f) * v)
+        wr = oh * (s_f * v)
+        ohs = jnp.concatenate([wl, wr], axis=1)
+        contrib = jax.lax.dot_general(
+            ohs, feat,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+            precision=stats_prec,
+        )
 
-    @pl.when(i > 0)
+        @pl.when(i == 0)
+        def _():
+            stats_ref[:] = contrib
+
+        @pl.when(i > 0)
+        def _():
+            stats_ref[:] = stats_ref[:] + contrib
+
+    @pl.when(jnp.logical_not(enabled) & (i == 0))
     def _():
-        stats_ref[:] = stats_ref[:] + contrib
+        stats_ref[:] = jnp.zeros_like(stats_ref)
 
 
 @functools.partial(
@@ -190,10 +202,14 @@ def _stats_kernel(x_ref, labels_ref, sub_ref, valid_ref, stats_ref, *,
 )
 def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
                       family_name: str, tile: int = 512,
-                      interpret: bool = False, precision: str = "highest"):
+                      interpret: bool = False, precision: str = "highest",
+                      enable=None):
     """Statistics-only kernel: given labels/sub-labels, accumulate the
     [2K, F] per-(slot, side) statistics (the recompute passes after split
-    moves and bad-cluster resets)."""
+    moves and bad-cluster resets).
+
+    ``enable``: optional traced bool/int scalar; 0 skips all compute and
+    returns zeros (see the kernel note on lax.cond flattening)."""
     n, d = x.shape
     assert n % tile == 0, (n, tile)
     grid = n // tile
@@ -207,10 +223,15 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
         _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
         stats_prec=_PRECISIONS[precision],
     )
+    if enable is None:
+        enable_arr = jnp.ones((1,), jnp.int32)
+    else:
+        enable_arr = jnp.asarray(enable).astype(jnp.int32).reshape(1)
     (stats,) = pl.pallas_call(
         kernel,
         grid=(grid,),
         in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),             # enable
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((tile, 1), lambda i: (i, 0),
@@ -227,6 +248,7 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
         out_shape=[jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
+        enable_arr,
         x,
         labels.reshape(n, 1),
         sublabels.reshape(n, 1),

@@ -157,13 +157,17 @@ def _assign_and_stats_pallas(
 def stats_only(
     x, valid, labels, sublabels, k_slots: int, family, chunk: int,
     use_pallas: bool = False, interpret: bool = False,
-    stats_precision: str = "highest",
+    stats_precision: str = "highest", enable=None,
 ):
     """Recompute per-(slot, side) statistics from given labels/sub-labels.
 
     Used after split moves and bad-cluster resets rewrite labels
     (reference ``update_suff_stats_posterior!``,
     src/local_clusters_actions.jl:206-254).  Returns f32[K, 2, S].
+
+    ``enable`` (traced bool, Pallas path only): 0 makes the pass a no-op
+    returning zeros -- the in-kernel replacement for wrapping the call in
+    ``lax.cond``, which XLA:TPU flattens into execute-both-and-select.
     """
     if use_pallas:
         from ..ops import pallas_sweep
@@ -174,7 +178,7 @@ def stats_only(
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
             k_slots=k_slots, family_name=family.name, tile=tile,
-            interpret=interpret, precision=stats_precision,
+            interpret=interpret, precision=stats_precision, enable=enable,
         )
         return jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
     s = family.stat_dim(x.shape[-1])

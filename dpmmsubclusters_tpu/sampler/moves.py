@@ -83,11 +83,23 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
     }
 
 
-def reset_bad(key_pts, table, labels, sublabels):
+def reset_bad(table, family):
     """Clusters with an empty sub-cluster get their history reset and their
-    points' sub-labels re-randomized (local_clusters_actions.jl:481-516).
+    sub-cluster state re-randomized (local_clusters_actions.jl:481-516).
 
-    The O(N) sub-label rewrite only runs (lax.cond) when some slot is bad.
+    Two deliberate re-designs vs the reference, both exploiting the fact
+    that EVERY sweep's fused assign pass redraws all sub-labels and realized
+    statistics from scratch, and reset slots are burnout-gated from
+    split/merge until long after:
+
+    * the reference's O(N) sub-label re-randomization is dropped -- those
+      values would never be read before the next sweep overwrites them
+      (reset slots cannot split this sweep);
+    * the reference's O(N*D^2) statistics recompute becomes "sub-stats =
+      half the whole stats", their exact expectation under a random 50/50
+      re-assignment (Rao-Blackwellized).  This matters: at steady state a
+      near-converged cluster empties a sub-cluster nearly every sweep, so
+      the recompute was an every-sweep full data pass.
     """
     n = table["stats"]["n"]
     bad = table["active"] & ((n[:, 1] == 0) | (n[:, 2] == 0))
@@ -95,18 +107,21 @@ def reset_bad(key_pts, table, labels, sublabels):
     splittable = table["splittable"] & ~bad
     any_bad = jnp.any(bad)
 
-    def rewrite(sub):
-        redo = jnp.take(bad, labels)
-        fresh = jax.random.bernoulli(
-            key_pts, 0.5, labels.shape
-        ).astype(jnp.int32)
-        return jnp.where(redo, fresh, sub)
-
-    sublabels = jax.lax.cond(
-        any_bad, rewrite, lambda sub: sub, sublabels
+    flat = family.stats_to_flat(table["stats"])          # [K, 3, S]
+    half = flat[:, 0:1] * 0.5
+    flat = jnp.where(
+        bad[:, None, None],
+        jnp.concatenate([flat[:, 0:1], half, half], axis=1),
+        flat,
     )
-    table = {**table, "hist": hist, "splittable": splittable}
-    return table, sublabels, any_bad
+    dim = (
+        table["prior"]["m"].shape[-1]
+        if "m" in table["prior"]
+        else table["prior"]["alpha"].shape[-1]
+    )
+    stats = family.stats_from_flat(flat, dim)
+    table = {**table, "stats": stats, "hist": hist, "splittable": splittable}
+    return compute_posteriors(family, table), any_bad
 
 
 def _scatter_rows(arr, dst, src_rows):
@@ -114,14 +129,16 @@ def _scatter_rows(arr, dst, src_rows):
     return arr.at[dst].set(src_rows, mode="drop")
 
 
-def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
+def split_move(key, table, labels, sublabels, alpha: float, final,
                family, lm=None):
     """Metropolis-Hastings split proposals for every splittable slot at once.
 
     Acceptance ratio (local_clusters_actions.jl:318-343):
       log_HR = log a + lgamma(Nl) + L_l + lgamma(Nr) + L_r - lgamma(N) - L
-    Accepted slot k moves its right-sub-cluster points to a free slot and both
-    slots restart burnout with re-randomized sub-labels.
+    Accepted slot k moves its right-sub-cluster points to a free slot and
+    both slots restart burnout with expectation-halved sub-stats (see the
+    stats-bookkeeping note below on why no data pass or sub-label rewrite
+    is needed).
 
     ``lm``: optional precomputed [K, 3] log marginals of the current
     (prior, post, stats) -- the sweep computes them once and shares them
@@ -173,20 +190,19 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
     new_slot = jnp.take(slot_of_rank, jnp.clip(rank, 0, k - 1))
 
     # rewrite labels: right-side points of accepted slots move to the new
-    # slot; re-randomize sub-labels of all points of the affected slots.
-    # O(N) work, so skipped (lax.cond) when no split was accepted.
-    def rewrite(ops):
-        labels, sublabels = ops
+    # slot.  O(N), so skipped (lax.cond) when no split was accepted.  The
+    # reference also re-randomizes the affected points' sub-labels
+    # (split_cluster_local_worker!, :265-278); here that write would never
+    # be read -- the next sweep's assign pass redraws every sub-label, and
+    # the split-touched slots are burnout-gated until then -- so the
+    # equivalent state lives in the expectation-halved sub-stats below.
+    def rewrite(labels):
         acc_pt = jnp.take(accept, labels)
         new_pt = jnp.take(new_slot, labels)
-        labels = jnp.where(acc_pt & (sublabels == 1), new_pt, labels)
-        fresh = jax.random.bernoulli(
-            key_pts, 0.5, labels.shape
-        ).astype(jnp.int32)
-        return labels, jnp.where(acc_pt, fresh, sublabels)
+        return jnp.where(acc_pt & (sublabels == 1), new_pt, labels)
 
-    labels, sublabels = jax.lax.cond(
-        jnp.any(accept), rewrite, lambda ops: ops, (labels, sublabels)
+    labels = jax.lax.cond(
+        jnp.any(accept), rewrite, lambda l: l, labels
     )
 
     dst = jnp.where(accept, new_slot, k)
@@ -198,18 +214,23 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
     active = active.at[dst].set(True, mode="drop")
     prior = jax.tree.map(lambda a: _scatter_rows(a, dst, a), table["prior"])
     # Stats bookkeeping matching create_splittable_from_params
-    # (shared_actions.jl:2-9): the new slot starts as three copies of the
-    # parent's *right* sub-cluster stats, the old slot as copies of its
-    # *left*; the post-split recompute pass then refreshes the sub-stats
-    # under the re-randomized sub-labels.
-    r_copies = jnp.asarray([2, 2, 2])
-    l_copies = jnp.asarray([1, 1, 1])
+    # (shared_actions.jl:2-9): the new slot's whole = the parent's *right*
+    # sub-cluster stats, the old slot's whole = its *left*.  Sub-cluster
+    # stats become HALF the new whole -- the exact expectation under the
+    # re-randomized 50/50 sub-labels, replacing the reference's post-split
+    # O(N) statistics pass (realized stats return at the next sweep's
+    # assign pass; touched slots are burnout-gated from split/merge).
+    def _side3(a, side: int):
+        w = a[:, side]
+        h = w * 0.5
+        return jnp.stack([w, h, h], axis=1)
+
     stats = jax.tree.map(
-        lambda a: _scatter_rows(a, dst, a[:, r_copies]), table["stats"]
+        lambda a: _scatter_rows(a, dst, _side3(a, 2)), table["stats"]
     )
     stats = jax.tree.map(
         lambda a, b: jnp.where(
-            accept.reshape((k,) + (1,) * (a.ndim - 1)), a[:, l_copies], b
+            accept.reshape((k,) + (1,) * (a.ndim - 1)), _side3(a, 1), b
         ),
         table["stats"],
         stats,
@@ -230,7 +251,8 @@ def split_move(key, key_pts, table, labels, sublabels, alpha: float, final,
         "hist": hist,
         "splittable": splittable,
     }
-    return table, labels, sublabels, jnp.any(accept), touched
+    return compute_posteriors(family, table), labels, sublabels, \
+        jnp.any(accept), touched
 
 
 def merge_move(key, table, labels, sublabels, alpha: float, final, family,

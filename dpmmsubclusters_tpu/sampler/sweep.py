@@ -12,8 +12,8 @@ reference exactly:
   D. sub-label sampling      }  fused one pass      (sample_labels! /
   E. sufficient statistics  /                        sample_sub_clusters! /
      + one psum over the data mesh axis              update_suff_stats_posterior!)
-  F. reset bad clusters (+ conditional stats recompute)
-  G. split moves (+ conditional stats recompute), merge moves
+  F. reset bad clusters (sub-stats -> expectation under re-randomization)
+  G. split moves (same expectation bookkeeping), merge moves
   H. deactivate empty slots
 
 All table-level math is replicated across devices (identical keys -> identical
@@ -68,11 +68,11 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         d = points.shape[-1]
         k_slots = table["active"].shape[0]
 
-        def stats_pass(labels, sublabels):
+        def stats_pass(labels, sublabels, enable=None):
             stats_lr = assign_mod.stats_only(
                 points, valid, labels, sublabels, k_slots, family, chunk,
                 use_pallas=use_pallas, interpret=interpret,
-                stats_precision=cfg.stats_precision,
+                stats_precision=cfg.stats_precision, enable=enable,
             )
             if axis_name is not None:
                 stats_lr = jax.lax.psum(stats_lr, axis_name)
@@ -82,15 +82,40 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             stats = family.stats_from_flat(flat3, d)
             return compute_posteriors(family, {**table, "stats": stats})
 
+        def gated_recompute(flag, table, labels, sublabels):
+            """Refresh table statistics from (labels, sublabels) only when
+            ``flag`` (used by the opt-in smart-splits path, whose data-driven
+            sub-labels must be reflected in the stats).  The in-kernel
+            ``enable`` gate makes the disabled pass nearly free on TPU; the
+            jnp path uses lax.cond (CPU executes one branch)."""
+            if use_pallas and not interpret:
+                flat3 = stats_pass(labels, sublabels, enable=flag)
+                new = set_stats(table, flat3)
+                sel = (
+                    lambda nw, old: jnp.where(flag, nw, old)
+                )
+                return {
+                    **table,
+                    "stats": jax.tree.map(sel, new["stats"], table["stats"]),
+                    "post": jax.tree.map(sel, new["post"], table["post"]),
+                }
+
+            def recompute(args):
+                table, labels, sublabels = args
+                return set_stats(table, stats_pass(labels, sublabels))
+
+            return jax.lax.cond(
+                flag, recompute, lambda args: args[0],
+                (table, labels, sublabels),
+            )
+
         dev = (
             jax.lax.axis_index(axis_name)
             if axis_name is not None
             else jnp.int32(0)
         )
-        key, ka, kb, kf, kg1, kg2 = jax.random.split(key, 6)
+        key, ka, kb, kg1, kg2 = jax.random.split(key, 5)
         kb_pts = jax.random.fold_in(kb, dev)
-        kf_pts = jax.random.fold_in(kf, dev)
-        kg_pts = jax.random.fold_in(kg1, dev)
 
         # A + B: replicated parameter draws
         table = moves.sample_params_step(ka, table, alpha, outlier_mod, family)
@@ -116,18 +141,10 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             stats_lr = jax.lax.psum(stats_lr, axis_name)
         table = set_stats(table, assign_mod.lr_to_full(stats_lr))
 
-        # F: reset clusters with an empty sub-cluster
-        table, sublabels, any_bad = moves.reset_bad(kf_pts, table, labels, sublabels)
-
-        def recompute(args):
-            table, labels, sublabels = args
-            flat3 = stats_pass(labels, sublabels)
-            return set_stats(table, flat3)
-
-        def keep(args):
-            return args[0]
-
-        table = jax.lax.cond(any_bad, recompute, keep, (table, labels, sublabels))
+        # F: reset clusters with an empty sub-cluster (sub-stats become the
+        # halved whole-stats -- their expectation under re-randomized
+        # sub-labels; no O(N) work at all, see moves.reset_bad)
+        table, any_bad = moves.reset_bad(table, family)
 
         # G: split + merge moves
         def do_moves(args):
@@ -145,7 +162,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                 ),
             )
             table, labels, sublabels, any_split, touched = moves.split_move(
-                kg1, kg_pts, table, labels, sublabels, alpha, final, family,
+                kg1, table, labels, sublabels, alpha, final, family,
                 lm=lm3,
             )
             if cfg.smart_splits:
@@ -164,9 +181,10 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                     any_split, do_smart, lambda a: a[2],
                     (table, labels, sublabels),
                 )
-            table = jax.lax.cond(
-                any_split, recompute, keep, (table, labels, sublabels)
-            )
+                # smart sub-labels are data-driven, so the stats must be
+                # recomputed to match (the plain path instead keeps the
+                # expectation-halved stats set inside split_move)
+                table = gated_recompute(any_split, table, labels, sublabels)
             table, labels, sublabels = moves.merge_move(
                 kg2, table, labels, sublabels, alpha, final, family,
                 lm_w=lm3[:, 0], candidates=cfg.merge_candidates,

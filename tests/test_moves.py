@@ -56,7 +56,7 @@ def test_split_move_allocates_free_slots():
     sublabels = jnp.asarray(([0] * 50 + [1] * 50) + [0] * 60, jnp.int32)
     key = jax.random.PRNGKey(0)
     t2, l2, s2, any_split, touched = moves.split_move(
-        key, key, table, labels, sublabels, 10.0, jnp.asarray(False), GAUSSIAN
+        key, table, labels, sublabels, 10.0, jnp.asarray(False), GAUSSIAN
     )
     assert bool(any_split)
     active = np.asarray(t2["active"])
@@ -80,7 +80,7 @@ def test_split_move_respects_final():
     sublabels = jnp.asarray([0] * 50 + [1] * 50, jnp.int32)
     key = jax.random.PRNGKey(0)
     _, _, _, any_split, _ = moves.split_move(
-        key, key, table, labels, sublabels, 10.0, jnp.asarray(True), GAUSSIAN
+        key, table, labels, sublabels, 10.0, jnp.asarray(True), GAUSSIAN
     )
     assert not bool(any_split)
 
@@ -141,22 +141,25 @@ def test_merge_move_skips_when_fewer_than_two_eligible():
     assert np.array_equal(np.asarray(l2), np.asarray(labels))
 
 
-def test_reset_bad_rerandomizes_empty_subcluster():
+def test_reset_bad_resets_empty_subcluster():
     (table, cfg) = _table_with_counts([(100, 0), (30, 30)])
     table = {**table, "splittable": jnp.asarray([True, True] + [False] * 6)}
-    labels = jnp.asarray([0] * 100 + [1] * 60, jnp.int32)
-    sublabels = jnp.zeros(160, jnp.int32)
-    t2, s2, any_bad = moves.reset_bad(
-        jax.random.PRNGKey(0), table, labels, sublabels
-    )
+    t2, any_bad = moves.reset_bad(table, GAUSSIAN)
     assert bool(any_bad)
-    s2 = np.asarray(s2)
-    # slot 0's points re-randomized (both sides present w.h.p.)
-    assert 0 < s2[:100].sum() < 100
-    # slot 1 untouched
-    assert np.all(s2[100:] == 0)
     assert not bool(t2["splittable"][0])
     assert bool(t2["splittable"][1])
+    # reset slot's sub-stats become the halved whole (their expectation
+    # under the re-randomized sub-labels); whole stats preserved
+    n2 = np.asarray(t2["stats"]["n"])
+    assert n2[0, 0] == 100 and n2[0, 1] == 50 and n2[0, 2] == 50
+    assert np.allclose(
+        np.asarray(t2["stats"]["sum_x"])[0, 1],
+        np.asarray(table["stats"]["sum_x"])[0, 0] * 0.5,
+    )
+    # untouched slot keeps its realized sub-stats
+    assert np.array_equal(
+        np.asarray(t2["stats"]["n"])[1], np.asarray(table["stats"]["n"])[1]
+    )
 
 
 def test_remove_empty_deactivates():
