@@ -62,12 +62,13 @@ def main():
 
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
                      verbose=False, track_posterior=False,
-                     merge_candidates=4 * k_max)
+                     merge_candidates=4 * k_max, precompute_features=True)
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
     points, valid, n_total = engine.shard_points(x - x.mean(0))
+    points = engine.featurize(points)
     jax.block_until_ready(points)
-    log("points sharded (h2d done)")
+    log("points sharded + featurized (h2d done)")
     prior = GAUSSIAN.default_prior(d)
     state = engine.init_state(jax.random.PRNGKey(0), points, valid, prior)
     jax.block_until_ready(state.table["log_weights"])

@@ -33,6 +33,28 @@ from .io.checkpoint import load_checkpoint, save_checkpoint
 _FAMILIES = {"gaussian": GAUSSIAN, "multinomial": MULTINOMIAL}
 
 
+def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
+                        n_dev: int) -> DPMMConfig:
+    """Resolve ``precompute_features`` (None = auto): on for Gaussian data
+    when the per-device [N_local, F] feature cache fits the budget and
+    smart splits are off (they need raw points inside the sweep)."""
+    pf = cfg.precompute_features
+    if pf is None:
+        f_dim = fam.feature_dim(d)
+        n_local = _round_up(max(n, 1), n_dev * cfg.chunk_size) // n_dev
+        pf = (
+            fam.name == "gaussian"
+            and not cfg.smart_splits
+            and n_local * f_dim * 4 <= cfg.feature_cache_bytes
+        )
+    elif pf and cfg.smart_splits:
+        raise ValueError(
+            "precompute_features=True is incompatible with smart_splits "
+            "(smart splits read the raw points inside the sweep)"
+        )
+    return cfg.replace(precompute_features=bool(pf))
+
+
 def _tier_setup(fam, cfg: DPMMConfig, mesh, k_start: Optional[int] = None):
     """Resolve the (initial engine, engine_fn, k_ceiling) triple for adaptive
     table-capacity tiers (see sampler.driver.desired_tier); single fixed
@@ -323,8 +345,11 @@ def fit(
     else:
         shift = np.zeros(d, np.float32)
 
+    cfg = _resolve_precompute(fam, cfg, n, d, n_dev)
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
     points, valid, n_total = engine.shard_points(x)
+    if cfg.precompute_features:
+        points = engine.featurize(points)
     seed = cfg.seed if cfg.seed is not None else np.random.randint(0, 2**31 - 1)
     key = jax.random.PRNGKey(seed)
     state = engine.init_state(key, points, valid, prior, outlier_prior)
@@ -402,6 +427,9 @@ def fit_distributed(
         chunk_size=_effective_chunk(cfg, max(n_local, 1) * jax.process_count(),
                                     n_dev)
     )
+    cfg = _resolve_precompute(
+        fam, cfg, max(n_local, 1) * jax.process_count(), d, n_dev
+    )
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
     points, valid, n_global = dist.shard_points_global(
         x, mesh, cfg.chunk_size
@@ -430,6 +458,8 @@ def fit_distributed(
     else:
         shift = np.zeros(d, np.float32)
 
+    if cfg.precompute_features:
+        points = engine.featurize(points)
     seed = cfg.seed if cfg.seed is not None else 0
     state = engine.init_state(
         jax.random.PRNGKey(seed), points, valid, prior, outlier_prior
@@ -498,8 +528,11 @@ def run_from_checkpoint(
     # the checkpointed table may be any capacity tier; start the engine at
     # that width and let the tier loop (or a one-shot migration) adjust
     k_saved = int(np.asarray(ck["table"]["active"]).shape[0])
+    cfg = _resolve_precompute(fam, cfg, n, d, n_dev)
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh, k_start=k_saved)
     points, valid, n_total = engine.shard_points(x)
+    if cfg.precompute_features:
+        points = engine.featurize(points)
     n_pad = points.shape[0]
 
     from .parallel.mesh import data_sharding, replicated
@@ -521,9 +554,9 @@ def run_from_checkpoint(
     )
     if k_saved != engine.cfg.k_max:
         # fixed-capacity engine with a differently-sized checkpoint table
-        from .sampler.driver import TierMigrator
+        from .sampler.driver import get_migrator
 
-        state = TierMigrator(fam, mesh)(state, engine.cfg.k_max)
+        state = get_migrator(fam, mesh)(state, engine.cfg.k_max)
 
     callback = None
     if cfg.enable_saving:

@@ -38,6 +38,13 @@ class DPMMConfig:
     merge_candidates: Optional[int] = None  # None = exact all-pairs merge
     # scan; an int M evaluates only the top-M screen-score pairs (O(M)
     # Cholesky work instead of O(K^2))
+    precompute_features: Optional[bool] = None  # build the [N, F] feature
+    # rows ONCE per fit and stream them per sweep instead of rebuilding in
+    # the kernel (the build is VPU-bound narrow-lane work, ~25% of the
+    # Gaussian kernel at D=32).  None = auto: on when the per-device
+    # feature cache fits feature_cache_bytes and smart_splits is off
+    # (smart splits need the raw points inside the sweep)
+    feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
     auto_tier: Optional[bool] = None  # adaptive table capacity: run at the
     # smallest tier (16, 32, ..., k_max) with >=4x split headroom over the
     # live cluster count, migrating between compiled tiers as K changes.

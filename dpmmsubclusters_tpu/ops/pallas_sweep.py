@@ -77,6 +77,20 @@ def _multinomial_feature_tile(x, d: int):
     return jnp.concatenate([jnp.ones((t, 1), x.dtype), x], axis=1)
 
 
+def _identity_tile(x, d: int):
+    """The input rows already ARE the feature rows (precomputed once per
+    fit; the in-kernel build is VPU-bound narrow-lane work, ~25% of the
+    kernel for Gaussians at D=32)."""
+    return x
+
+
+_FEAT_FNS = {
+    "gaussian": _feature_tile,
+    "multinomial": _multinomial_feature_tile,
+    "precomputed": _identity_tile,
+}
+
+
 _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,   # 1 bf16 pass per f32 matmul
     "high": jax.lax.Precision.HIGH,         # 3 passes (bf16x3, ~f32-faithful)
@@ -213,11 +227,13 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     n, d = x.shape
     assert n % tile == 0, (n, tile)
     grid = n // tile
-    feat_fn = (
-        _feature_tile if family_name == "gaussian"
-        else _multinomial_feature_tile
-    )
-    f = (1 + d + d * (d + 1) // 2) if family_name == "gaussian" else (1 + d)
+    feat_fn = _FEAT_FNS[family_name]
+    if family_name == "gaussian":
+        f = 1 + d + d * (d + 1) // 2
+    elif family_name == "multinomial":
+        f = 1 + d
+    else:  # precomputed: the input rows are the feature rows
+        f = d
 
     kernel = functools.partial(
         _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
@@ -285,10 +301,7 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
     assert threek == 3 * k_slots
     assert n % tile == 0, (n, tile)
     grid = n // tile
-    feat_fn = (
-        _feature_tile if family_name == "gaussian"
-        else _multinomial_feature_tile
-    )
+    feat_fn = _FEAT_FNS[family_name]
 
     kernel = functools.partial(
         _kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,

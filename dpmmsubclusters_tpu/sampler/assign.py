@@ -51,16 +51,22 @@ def assign_and_stats(
     interpret: bool = False,
     ll_precision: str = "highest",
     stats_precision: str = "highest",
+    x_is_features: bool = False,
 ):
-    """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S])."""
+    """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S]).
+
+    ``x_is_features``: the rows of ``x`` are already the feature rows
+    (precomputed once per fit -- skips the per-sweep in-kernel feature
+    build, which is VPU-bound narrow-lane work).
+    """
     if use_pallas:
         return _assign_and_stats_pallas(
             key, x, valid, phi, log_w, log_lrw, hard, family, chunk,
-            interpret, ll_precision, stats_precision,
+            interpret, ll_precision, stats_precision, x_is_features,
         )
     k_slots = phi.shape[0]
     f = phi.shape[-1]
-    s = family.stat_dim(x.shape[-1])
+    s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
     phi_mat = phi.reshape(3 * k_slots, f).T  # [F, 3K]
 
     xs = (_chunk(x, chunk), _chunk(valid, chunk))
@@ -72,7 +78,8 @@ def assign_and_stats(
         kc = jax.random.fold_in(key, i)
         k1, k2 = jax.random.split(kc)
 
-        feat = family.features(xc)  # [C, F] -- shared by ll matmul AND stats
+        # [C, F] -- shared by the ll matmul AND the stats reduction
+        feat = xc if x_is_features else family.features(xc)
         ll3 = jnp.dot(
             feat, phi_mat, precision=jax.lax.Precision.HIGHEST
         ).reshape(xc.shape[0], k_slots, 3)
@@ -127,7 +134,7 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int) -> int:
 def _assign_and_stats_pallas(
     key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
     interpret: bool, ll_precision: str = "highest",
-    stats_precision: str = "highest",
+    stats_precision: str = "highest", x_is_features: bool = False,
 ):
     """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
     layouts: phi [K, 3, F] -> [F, 3K] side-major columns; stats [2K, F] ->
@@ -144,7 +151,7 @@ def _assign_and_stats_pallas(
         jnp.transpose(log_lrw, (1, 0)),
         hard.astype(jnp.int32),
         k_slots=k_slots,
-        family_name=family.name,
+        family_name="precomputed" if x_is_features else family.name,
         tile=tile,
         interpret=interpret,
         ll_precision=ll_precision,
@@ -158,6 +165,7 @@ def stats_only(
     x, valid, labels, sublabels, k_slots: int, family, chunk: int,
     use_pallas: bool = False, interpret: bool = False,
     stats_precision: str = "highest", enable=None,
+    x_is_features: bool = False,
 ):
     """Recompute per-(slot, side) statistics from given labels/sub-labels.
 
@@ -172,16 +180,20 @@ def stats_only(
     if use_pallas:
         from ..ops import pallas_sweep
 
-        tile = pick_tile(
-            chunk, x.shape[-1], k_slots, family.feature_dim(x.shape[-1])
+        f = (
+            x.shape[-1] if x_is_features
+            else family.feature_dim(x.shape[-1])
         )
+        tile = pick_tile(chunk, x.shape[-1], k_slots, f)
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
-            k_slots=k_slots, family_name=family.name, tile=tile,
+            k_slots=k_slots,
+            family_name="precomputed" if x_is_features else family.name,
+            tile=tile,
             interpret=interpret, precision=stats_precision, enable=enable,
         )
         return jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
-    s = family.stat_dim(x.shape[-1])
+    s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
     xs = (
         _chunk(x, chunk),
         _chunk(valid, chunk),
@@ -196,7 +208,7 @@ def stats_only(
             oh[:, :, None] * jax.nn.one_hot(sc, 2, dtype=xc.dtype)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
         ohs = ohs * vc[:, None].astype(xc.dtype)
-        sfeat = family.stat_features(xc)
+        sfeat = xc if x_is_features else family.stat_features(xc)
         return acc + jnp.dot(
             ohs.T, sfeat, precision=jax.lax.Precision.HIGHEST
         ).reshape(k_slots, 2, s), None

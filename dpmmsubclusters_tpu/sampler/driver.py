@@ -69,6 +69,23 @@ def desired_tier(k_act: int, cur: int, tiers: list) -> int:
     return cur
 
 
+_MIGRATOR_CACHE: dict = {}
+
+
+def get_migrator(family, mesh) -> "TierMigrator":
+    """Process-wide TierMigrator cache: a fresh instance per fit would
+    re-trace (and on remote-compile backends re-fetch) every migration
+    program."""
+    key = (family.name, tuple(d.id for d in mesh.devices.flat))
+    mig = _MIGRATOR_CACHE.get(key)
+    if mig is None:
+        mig = TierMigrator(family, mesh)
+        if len(_MIGRATOR_CACHE) > 8:
+            _MIGRATOR_CACHE.clear()
+        _MIGRATOR_CACHE[key] = mig
+    return mig
+
+
 class TierMigrator:
     """Jitted table-capacity migration: compact + resize the replicated
     table and remap the sharded labels through the slot LUT."""
@@ -179,6 +196,7 @@ class DPMMEngine:
                 points, valid, labels, sublabels, k_max, family, chunk,
                 use_pallas=use_pallas, interpret=interpret,
                 stats_precision=cfg.stats_precision,
+                x_is_features=bool(cfg.precompute_features),
             )
             stats_lr = jax.lax.psum(stats_lr, DATA_AXIS)
             return assign_mod.lr_to_full(stats_lr)
@@ -266,6 +284,16 @@ class DPMMEngine:
     def pad_size(self, n: int) -> int:
         """Global padded row count: divisible by n_dev * chunk_size."""
         return _round_up(max(n, 1), self.n_dev * self.cfg.chunk_size)
+
+    def featurize(self, points):
+        """Build the per-point feature rows ONCE (config
+        ``precompute_features``); the sweep then streams [N, F] instead of
+        rebuilding features per sweep inside the kernel."""
+        if not hasattr(self, "_featurize"):
+            self._featurize = jax.jit(
+                self.family.features, out_shardings=data_sharding(self.mesh)
+            )
+        return self._featurize(points)
 
     def shard_points(self, x: np.ndarray):
         """Pad [N, D] host points and place them sharded over the mesh.
@@ -393,7 +421,7 @@ def run_loop(
     tiers = migrator = None
     if engine_fn is not None:
         tiers = tier_sequence(k_ceiling if k_ceiling is not None else cfg.k_max)
-        migrator = TierMigrator(engine.family, engine.mesh)
+        migrator = get_migrator(engine.family, engine.mesh)
 
     def tier_step(state, engine, k_now):
         cur = int(np.asarray(state.table["active"]).shape[0])

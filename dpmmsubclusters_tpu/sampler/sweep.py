@@ -62,10 +62,15 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
     alpha = float(cfg.alpha)
     outlier_mod = float(cfg.outlier_mod)
     use_pallas, interpret = resolve_pallas(cfg)
+    # when True, `points` rows are precomputed feature rows, not raw data
+    x_is_features = bool(cfg.precompute_features)
 
     def sweep(table, labels, sublabels, key, points, valid, n_total,
               final, no_more_splits):
-        d = points.shape[-1]
+        prior = table["prior"]
+        d = (
+            prior["m"] if "m" in prior else prior["alpha"]
+        ).shape[-1]  # true data dim (points may hold feature rows)
         k_slots = table["active"].shape[0]
 
         def stats_pass(labels, sublabels, enable=None):
@@ -73,6 +78,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                 points, valid, labels, sublabels, k_slots, family, chunk,
                 use_pallas=use_pallas, interpret=interpret,
                 stats_precision=cfg.stats_precision, enable=enable,
+                x_is_features=x_is_features,
             )
             if axis_name is not None:
                 stats_lr = jax.lax.psum(stats_lr, axis_name)
@@ -136,6 +142,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             interpret=interpret,
             ll_precision=cfg.ll_precision,
             stats_precision=cfg.stats_precision,
+            x_is_features=x_is_features,
         )
         if axis_name is not None:
             stats_lr = jax.lax.psum(stats_lr, axis_name)

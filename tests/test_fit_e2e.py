@@ -156,3 +156,21 @@ def test_params_file_mode(tmp_path):
     res = fit_from_params(str(tmp_path / "params.json"))
     assert res.k == 4
     assert len(res.history.nmi) == 60
+
+
+def test_precomputed_features_matches_quality():
+    """precompute_features=True streams [N, F] feature rows instead of
+    rebuilding them in-kernel; the sampler must behave identically (same
+    math, same PRNG stream -- only the feature source changes)."""
+    x, gt = four_corners()
+    res = dpmm.fit(x, alpha=100.0, iters=120, seed=11, verbose=False,
+                   burnout=5, precompute_features=True)
+    assert res.k == 4
+    assert dpmm.nmi(gt, res.labels) > 0.999
+    assert res.model.cfg.precompute_features is True
+    # identical trajectory vs the in-kernel build on the jnp path: the
+    # feature rows are bit-identical, so the whole chain matches
+    res2 = dpmm.fit(x, alpha=100.0, iters=120, seed=11, verbose=False,
+                    burnout=5, precompute_features=False)
+    assert res2.k == res.k
+    assert np.array_equal(res2.labels, res.labels)
