@@ -101,8 +101,11 @@ def main(which):
         x = means[lab] + rng.standard_normal((10_000_000, 64)).astype(np.float32)
         run_config(
             "gaussian_10M_d64",
+            # fixed capacity: one compiled program per run (tier engines
+            # would each pay a slow remote compile on cold caches)
             dict(alpha=10.0, iters=30, seed=1, k_max=192, burnout=5,
-                 track_posterior=False, merge_candidates=768),
+                 track_posterior=False, merge_candidates=768,
+                 auto_tier=False),
             x, lab,
         )
 

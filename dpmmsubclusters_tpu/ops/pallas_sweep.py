@@ -31,6 +31,30 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 NEG_INF = float("-inf")
+LANES = 128  # TPU vector lane count; [N]-scalar streams block as [N/128, 128]
+
+
+def _stream_read(ref, t: int):
+    """[1, T/128, 128] f32 lane-major stream block -> [T, 1] sublane column.
+
+    Per-point scalars must NOT be stored as [N, 1] arrays: the custom call
+    would tile them T(8,128), a 128x HBM padding (4.8 GB per array at
+    N=10M).  So they travel as dense [grid, T/128, 128] f32 blocks (labels
+    are exact in f32 below 2^24; int/bool casts happen outside in XLA).
+    The direct shape cast is unsupported by Mosaic and its vector transpose
+    only legalizes for f32 -- hence f32 + split + batched transpose.
+    """
+    lt = t // LANES
+    return jnp.swapaxes(ref[:].reshape(lt, 1, LANES), -2, -1).reshape(t, 1)
+
+
+def _stream_write(ref, col):
+    """[T, 1] f32 sublane column -> the [1, T/128, 128] stream block."""
+    t = col.shape[0]
+    lt = t // LANES
+    ref[:] = jnp.swapaxes(
+        col.reshape(lt, LANES, 1), -2, -1
+    ).reshape(1, lt, LANES)
 
 
 def _fmix32(x):
@@ -143,10 +167,10 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
         > pick_l + g2[:, 0:1] * noise_scale
     ).astype(jnp.int32)                                          # [T, 1]
 
-    labels_ref[:] = labels
-    sub_ref[:] = side
+    _stream_write(labels_ref, labels.astype(jnp.float32))
+    _stream_write(sub_ref, side.astype(jnp.float32))
 
-    v = valid_ref[:].astype(jnp.float32)                         # [T, 1]
+    v = _stream_read(valid_ref, t)                               # [T, 1] f32
     s_f = side.astype(jnp.float32)
     wl = oh * ((1.0 - s_f) * v)                                  # [T, K]
     wr = oh * (s_f * v)
@@ -181,11 +205,11 @@ def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
         x = x_ref[:]
         t = x.shape[0]
         feat = feat_fn(x, d)
-        labels = labels_ref[:]                                   # [T, 1]
-        col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
-        oh = (labels == col).astype(jnp.float32)
-        v = valid_ref[:].astype(jnp.float32)                     # [T, 1]
-        s_f = sub_ref[:].astype(jnp.float32)                     # [T, 1]
+        labels = _stream_read(labels_ref, t)                     # [T, 1] f32
+        col = jax.lax.broadcasted_iota(jnp.float32, (t, k_slots), 1)
+        oh = (labels == col).astype(jnp.float32)  # exact: ints < 2^24
+        v = _stream_read(valid_ref, t)                           # [T, 1] f32
+        s_f = _stream_read(sub_ref, t)                           # [T, 1] f32
         wl = oh * ((1.0 - s_f) * v)
         wr = oh * (s_f * v)
         ohs = jnp.concatenate([wl, wr], axis=1)
@@ -243,6 +267,9 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
         enable_arr = jnp.ones((1,), jnp.int32)
     else:
         enable_arr = jnp.asarray(enable).astype(jnp.int32).reshape(1)
+    lt = tile // LANES
+    stream = pl.BlockSpec((1, lt, LANES), lambda i: (i, 0, 0),
+                          memory_space=pltpu.VMEM)
     (stats,) = pl.pallas_call(
         kernel,
         grid=(grid,),
@@ -250,12 +277,9 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
             pl.BlockSpec(memory_space=pltpu.SMEM),             # enable
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
+            stream,
+            stream,
+            stream,
         ],
         out_specs=[
             pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
@@ -266,9 +290,9 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     )(
         enable_arr,
         x,
-        labels.reshape(n, 1),
-        sublabels.reshape(n, 1),
-        valid.reshape(n, 1),
+        labels.astype(jnp.float32).reshape(grid, lt, LANES),
+        sublabels.astype(jnp.float32).reshape(grid, lt, LANES),
+        valid.astype(jnp.float32).reshape(grid, lt, LANES),
     )
     return stats
 
@@ -322,20 +346,20 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
                          memory_space=pltpu.VMEM),             # log_w
             pl.BlockSpec((2, k_slots), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # log_lrw
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # valid
         ],
         out_specs=[
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # labels
-            pl.BlockSpec((tile, 1), lambda i: (i, 0),
+            pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # sublabels
             pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # stats acc
         ],
         out_shape=[
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
-            jax.ShapeDtypeStruct((n, 1), jnp.int32),
+            jax.ShapeDtypeStruct((grid, tile // LANES, LANES), jnp.float32),
+            jax.ShapeDtypeStruct((grid, tile // LANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32),
         ],
         # CPU testing runs the TPU interpreter (the generic interpreter has
@@ -348,6 +372,10 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
         phi_mat,
         log_w.reshape(1, -1),
         log_lrw,
-        valid.reshape(n, 1),
+        valid.astype(jnp.float32).reshape(grid, tile // LANES, LANES),
     )
-    return labels.reshape(n), sub.reshape(n), stats
+    return (
+        labels.reshape(n).astype(jnp.int32),
+        sub.reshape(n).astype(jnp.int32),
+        stats,
+    )

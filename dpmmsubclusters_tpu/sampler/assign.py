@@ -119,16 +119,24 @@ def assign_and_stats(
 
 def pick_tile(chunk: int, d: int, k_slots: int, f: int) -> int:
     """Largest point-tile that divides ``chunk`` and fits the kernel's VMEM
-    working set (feat + ll + one-hots + phi + stats accumulator) in budget."""
+    working set in budget.
+
+    The per-row term counts the feature rows 3x: the built [T, F] result,
+    the concat segments while building (or the transposed copy Mosaic makes
+    for the stats contraction), and slack for double-buffered DMA +
+    layout temporaries.  Undercounting trips the 16 MB scoped-vmem stack
+    limit at compile time (seen at D=64, F=2145 with tile 512)."""
     budget = 10 * 1024 * 1024
     fixed = 4 * (f * 3 * k_slots + 2 * k_slots * f)  # phi + stats acc
-    for tile in (512, 256, 128, 64, 32, 16, 8):
+    # tiles are multiples of 128: per-point scalar streams block as
+    # [tile/128, 128] (full vector lanes, no tiling padding)
+    for tile in (512, 256, 128):
         if chunk % tile:
             continue
-        per_row = 4 * (d + f + 3 * k_slots + 4 * k_slots + 2)
+        per_row = 4 * (d + 3 * f + 3 * k_slots + 4 * k_slots + 2)
         if fixed + tile * per_row <= budget:
             return tile
-    return 8
+    return 128
 
 
 def _assign_and_stats_pallas(
