@@ -162,16 +162,23 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     pick_r = jnp.sum(oh * (ll_r + loglrw_ref[1, :][None, :]), axis=-1,
                      keepdims=True)
     g2 = _gumbel(seed_u32 ^ jnp.uint32(0xA5A5A5A5), (t, 2))
-    side = (
+    # NOTE: no int<->float casts on [T, 1] values -- Mosaic fails to
+    # legalize 'arith.sitofp' on lane-dim-1 vectors.  side is born f32 via
+    # select; labels_f comes from the one-hot contraction against a [T, K]
+    # sitofp'd iota (full-lane casts legalize fine, cf. _gumbel).
+    side_f = jnp.where(
         pick_r + g2[:, 1:2] * noise_scale + 1e-30
-        > pick_l + g2[:, 0:1] * noise_scale
-    ).astype(jnp.int32)                                          # [T, 1]
+        > pick_l + g2[:, 0:1] * noise_scale,
+        1.0, 0.0,
+    )                                                            # [T, 1] f32
+    labels_f = jnp.sum(oh * col.astype(jnp.float32), axis=-1,
+                       keepdims=True)                            # [T, 1] f32
 
-    _stream_write(labels_ref, labels.astype(jnp.float32))
-    _stream_write(sub_ref, side.astype(jnp.float32))
+    _stream_write(labels_ref, labels_f)
+    _stream_write(sub_ref, side_f)
 
     v = _stream_read(valid_ref, t)                               # [T, 1] f32
-    s_f = side.astype(jnp.float32)
+    s_f = side_f
     wl = oh * ((1.0 - s_f) * v)                                  # [T, K]
     wr = oh * (s_f * v)
     ohs = jnp.concatenate([wl, wr], axis=1)                      # [T, 2K]
@@ -206,8 +213,11 @@ def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
         t = x.shape[0]
         feat = feat_fn(x, d)
         labels = _stream_read(labels_ref, t)                     # [T, 1] f32
-        col = jax.lax.broadcasted_iota(jnp.float32, (t, k_slots), 1)
-        oh = (labels == col).astype(jnp.float32)  # exact: ints < 2^24
+        # Mosaic requires integer iota ('tpu.iota' verifier) and cannot
+        # legalize casts on lane-dim-1 vectors, so: int iota -> full-lane
+        # [T, K] sitofp -> f32 compare (exact: slot ids < 2^24).
+        col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
+        oh = (labels == col.astype(jnp.float32)).astype(jnp.float32)
         v = _stream_read(valid_ref, t)                           # [T, 1] f32
         s_f = _stream_read(sub_ref, t)                           # [T, 1] f32
         wl = oh * ((1.0 - s_f) * v)

@@ -117,23 +117,27 @@ def assign_and_stats(
     return labels.reshape(-1), sublabels.reshape(-1), stats_lr
 
 
-def pick_tile(chunk: int, d: int, k_slots: int, f: int) -> int:
+def pick_tile(chunk: int, d: int, k_slots: int, f: int,
+              built_features: bool = True) -> int:
     """Largest point-tile that divides ``chunk`` and fits the kernel's VMEM
     working set in budget.
 
-    The per-row term counts the feature rows 3x: the built [T, F] result,
-    the concat segments while building (or the transposed copy Mosaic makes
-    for the stats contraction), and slack for double-buffered DMA +
-    layout temporaries.  Undercounting trips the 16 MB scoped-vmem stack
-    limit at compile time (seen at D=64, F=2145 with tile 512)."""
-    budget = 10 * 1024 * 1024
+    Calibrated against the Mosaic scoped-vmem accounting (16 MB stack
+    limit): with the in-kernel feature build the compiler's measured
+    footprint at (tile=512, D=64, F=2145, K=16) is 20.30M, matching a
+    ~4.5x-F per-row cost (the [T, F] result + concat temporaries + layout
+    copies).  When the rows arrive prebuilt (``built_features=False``,
+    config ``precompute_features``) the feature block is the double-buffered
+    input itself, ~2x F.  Budget leaves >=3 MB headroom under the limit."""
+    budget = 12 * 1024 * 1024
     fixed = 4 * (f * 3 * k_slots + 2 * k_slots * f)  # phi + stats acc
+    feat_mult = 4.5 if built_features else 2.0
     # tiles are multiples of 128: per-point scalar streams block as
     # [tile/128, 128] (full vector lanes, no tiling padding)
     for tile in (512, 256, 128):
         if chunk % tile:
             continue
-        per_row = 4 * (d + 3 * f + 3 * k_slots + 4 * k_slots + 2)
+        per_row = 4 * (d + feat_mult * f + 3 * k_slots + 4 * k_slots + 2)
         if fixed + tile * per_row <= budget:
             return tile
     return 128
@@ -151,7 +155,8 @@ def _assign_and_stats_pallas(
 
     k_slots = phi.shape[0]
     f = phi.shape[-1]
-    tile = pick_tile(chunk, x.shape[-1], k_slots, f)
+    tile = pick_tile(chunk, x.shape[-1], k_slots, f,
+                     built_features=not x_is_features)
     phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(f, 3 * k_slots)
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
     labels, sub, stats2k = pallas_sweep.fused_assign(
@@ -192,7 +197,8 @@ def stats_only(
             x.shape[-1] if x_is_features
             else family.feature_dim(x.shape[-1])
         )
-        tile = pick_tile(chunk, x.shape[-1], k_slots, f)
+        tile = pick_tile(chunk, x.shape[-1], k_slots, f,
+                         built_features=not x_is_features)
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
             k_slots=k_slots,
