@@ -46,12 +46,12 @@ def main():
                              built_features=family != "precomputed")
             n = 4 * tile
             x = jnp.zeros((n, d), jnp.float32)
-            valid = jnp.ones((n,), bool)
+            valid = jnp.ones((n // 128, 128), bool)  # lane-blocked streams
             phi = jnp.zeros((f, 3 * k_slots), jnp.float32)
             logw = jnp.zeros((k_slots,), jnp.float32)
             loglrw = jnp.zeros((2, k_slots), jnp.float32)
-            labels = jnp.zeros((n,), jnp.int32)
-            sub = jnp.zeros((n,), jnp.int32)
+            labels = jnp.zeros((n // 128, 128), jnp.int32)
+            sub = jnp.zeros((n // 128, 128), jnp.int32)
 
             for name, thunk in (
                 ("fused_assign", lambda: compile_only(

@@ -380,8 +380,8 @@ def _model_from_state(fam, cfg, state: DPMMState, shift, n: int) -> DPMMModel:
         shift=np.asarray(shift, np.float32),
         cfg=cfg,
         n_points=n,
-        labels_raw=np.asarray(jax.device_get(state.labels))[:n],
-        sublabels=np.asarray(jax.device_get(state.sublabels))[:n],
+        labels_raw=np.asarray(jax.device_get(state.labels)).reshape(-1)[:n],
+        sublabels=np.asarray(jax.device_get(state.sublabels)).reshape(-1)[:n],
         key=np.asarray(jax.device_get(state.key)),
         step=state.step,
     )
@@ -441,7 +441,7 @@ def fit_distributed(
 
         sums = jax.jit(
             lambda p, v: (
-                jnp.sum(p * v[:, None], axis=0),
+                jnp.sum(p * v.reshape(-1)[:, None], axis=0),
                 jnp.sum(v.astype(jnp.float32)),
             ),
             out_shardings=NamedSharding(mesh, P()),
@@ -450,7 +450,9 @@ def fit_distributed(
             float(jax.device_get(sums[1])), 1.0
         )
         points = jax.jit(
-            lambda p, v: p - (jnp.asarray(shift) * v[:, None].astype(p.dtype)),
+            lambda p, v: p - (
+                jnp.asarray(shift) * v.reshape(-1)[:, None].astype(p.dtype)
+            ),
             out_shardings=points.sharding,
             donate_argnums=(0,),
         )(points, valid)
@@ -476,10 +478,10 @@ def fit_distributed(
     table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
     labels_local = np.concatenate(
         [np.asarray(s.data) for s in state.labels.addressable_shards]
-    )[:n_local]
+    ).reshape(-1)[:n_local]
     sub_local = np.concatenate(
         [np.asarray(s.data) for s in state.sublabels.addressable_shards]
-    )[:n_local]
+    ).reshape(-1)[:n_local]
     model = DPMMModel(
         family=fam, table=table, shift=np.asarray(shift, np.float32),
         cfg=cfg, n_points=int(n_global), labels_raw=labels_local,
@@ -540,7 +542,9 @@ def run_from_checkpoint(
     def _pad_i32(a, fill):
         out = np.full((n_pad,), fill, np.int32)
         out[:n] = a
-        return jax.device_put(out, data_sharding(mesh))
+        return jax.device_put(
+            out.reshape(n_pad // 128, 128), data_sharding(mesh)
+        )
 
     table = jax.device_put(
         jax.tree.map(jnp.asarray, ck["table"]), replicated(mesh)

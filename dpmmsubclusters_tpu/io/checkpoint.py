@@ -36,8 +36,12 @@ def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
     """Write the sampler state to ``path`` (.npz)."""
     tdict, _ = _flatten(table)
     payload = {f"table{_SEP}{k}": v for k, v in tdict.items()}
-    payload["labels"] = np.asarray(jax.device_get(labels))[:n_points]
-    payload["sublabels"] = np.asarray(jax.device_get(sublabels))[:n_points]
+    # labels may arrive lane-blocked [N/128, 128] (device state) or flat
+    # (host state); the on-disk format is always flat [n_points]
+    payload["labels"] = np.asarray(jax.device_get(labels)).reshape(-1)[:n_points]
+    payload["sublabels"] = (
+        np.asarray(jax.device_get(sublabels)).reshape(-1)[:n_points]
+    )
     payload["key"] = np.asarray(jax.device_get(key))
     payload["step"] = np.asarray(step)
     payload["shift"] = np.asarray(shift)

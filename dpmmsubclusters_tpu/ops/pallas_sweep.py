@@ -256,10 +256,18 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     [2K, F] per-(slot, side) statistics (the recompute passes after split
     moves and bad-cluster resets).
 
+    ``labels``/``sublabels`` (i32) and ``valid`` (bool) arrive LANE-BLOCKED
+    as [N/128, 128] -- the canonical per-point stream layout.  1-D [N] (or
+    [N, 1]) streams force XLA:TPU into T(8,128)-padded relayout copies --
+    128x the payload, 4.77 GB each at N=10M (the round-1 OOM).  On blocked
+    2-D shapes the i32<->f32 converts and the reshape to the kernel's
+    [grid, T/128, 128] block stream are layout-preserving.
+
     ``enable``: optional traced bool/int scalar; 0 skips all compute and
     returns zeros (see the kernel note on lax.cond flattening)."""
     n, d = x.shape
     assert n % tile == 0, (n, tile)
+    assert labels.ndim == 2 and labels.shape[1] == LANES, labels.shape
     grid = n // tile
     feat_fn = _FEAT_FNS[family_name]
     if family_name == "gaussian":
@@ -300,7 +308,7 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     )(
         enable_arr,
         x,
-        labels.astype(jnp.float32).reshape(grid, lt, LANES),
+        labels.astype(jnp.float32).reshape(grid, lt, LANES),   # blocked in
         sublabels.astype(jnp.float32).reshape(grid, lt, LANES),
         valid.astype(jnp.float32).reshape(grid, lt, LANES),
     )
@@ -321,19 +329,21 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
     Args:
       seed:    i32 scalar (folds the sweep's PRNG key + device index).
       x:       [N, D] f32, N % tile == 0.
-      valid:   [N] bool.
+      valid:   bool lane-blocked [N/128, 128] (see stats_from_labels on why
+               per-point streams never travel as 1-D [N] arrays).
       phi_mat: [F, 3K] natural params, columns [whole | left | right].
       log_w:   [K] mixture log-weights (-inf inactive).
       log_lrw: [2, K] sub-cluster log-weights rows [left, right].
       hard:    i32 scalar; >0 = argmax labels.
 
-    Returns (labels i32[N], sublabels i32[N], stats f32[2K, F] with rows
-    [left K | right K]).
+    Returns (labels i32[N/128, 128], sublabels i32[N/128, 128],
+    stats f32[2K, F] with rows [left K | right K]).
     """
     n, d = x.shape
     f, threek = phi_mat.shape
     assert threek == 3 * k_slots
     assert n % tile == 0, (n, tile)
+    assert valid.ndim == 2 and valid.shape[1] == LANES, valid.shape
     grid = n // tile
     feat_fn = _FEAT_FNS[family_name]
 
@@ -384,8 +394,9 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
         log_lrw,
         valid.astype(jnp.float32).reshape(grid, tile // LANES, LANES),
     )
+    # converts stay on lane-blocked 2-D shapes (layout-preserving)
     return (
-        labels.reshape(n).astype(jnp.int32),
-        sub.reshape(n).astype(jnp.int32),
+        labels.reshape(n // LANES, LANES).astype(jnp.int32),
+        sub.reshape(n // LANES, LANES).astype(jnp.int32),
         stats,
     )

@@ -61,9 +61,12 @@ def shard_points_global(x_local: np.ndarray, mesh, chunk: int):
     """
     from jax.sharding import NamedSharding, PartitionSpec as P
 
+    import math
+
     n_local, d = x_local.shape
     n_dev_local = jax.local_device_count()
-    mult = n_dev_local * chunk
+    # rows must also block into [N/128, 128] lane-major streams
+    mult = n_dev_local * math.lcm(chunk, 128)
     n_local_pad = ((max(n_local, 1) + mult - 1) // mult) * mult
 
     xp = np.zeros((n_local_pad, d), np.float32)
@@ -73,7 +76,9 @@ def shard_points_global(x_local: np.ndarray, mesh, chunk: int):
 
     sharding = NamedSharding(mesh, P(DATA_AXIS))
     points = jax.make_array_from_process_local_data(sharding, xp)
-    valid = jax.make_array_from_process_local_data(sharding, vp)
+    valid = jax.make_array_from_process_local_data(
+        sharding, vp.reshape(n_local_pad // 128, 128)
+    )
 
     # global count of real rows
     n_global = float(

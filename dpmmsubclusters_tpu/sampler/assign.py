@@ -29,6 +29,25 @@ import jax
 import jax.numpy as jnp
 
 NEG_INF = -jnp.inf
+LANES = 128  # lane-blocked stream layout: per-point scalars are [N/128, 128]
+
+
+def block_stream(a):
+    """[N] per-point scalars -> canonical lane-blocked [N/128, 128].
+
+    1-D (or [N, 1]) per-point streams force XLA:TPU into T(8,128)-padded
+    relayout copies around the Pallas custom calls -- 128x the payload
+    (4.77 GB per array at N=10M).  All label/sub-label/valid state is
+    therefore kept lane-blocked end-to-end; host/flat views are reshapes.
+    """
+    n = a.shape[0]
+    assert n % LANES == 0, (n, LANES)
+    return a.reshape(n // LANES, LANES)
+
+
+def unblock_stream(a):
+    """Lane-blocked [rows, 128] -> flat [N]."""
+    return a.reshape(-1)
 
 
 def _chunk(x, chunk):
@@ -40,7 +59,7 @@ def _chunk(x, chunk):
 def assign_and_stats(
     key,
     x,            # [N, D] local points (N % chunk == 0)
-    valid,        # [N] bool; padding rows contribute nothing
+    valid,        # bool lane-blocked [N/128, 128]; padding rows contribute 0
     phi,          # [K, 3, F] natural params (whole, left, right)
     log_w,        # [K] mixture log-weights (-inf for inactive slots)
     log_lrw,      # [K, 2] sub-cluster mixture log-weights
@@ -53,7 +72,9 @@ def assign_and_stats(
     stats_precision: str = "highest",
     x_is_features: bool = False,
 ):
-    """Returns (labels i32[N], sublabels i32[N], stats_lr f32[K, 2, S]).
+    """Returns (labels i32[N/128, 128], sublabels i32[N/128, 128],
+    stats_lr f32[K, 2, S]) -- per-point streams lane-blocked, see
+    :func:`block_stream`.
 
     ``x_is_features``: the rows of ``x`` are already the feature rows
     (precomputed once per fit -- skips the per-sweep in-kernel feature
@@ -69,7 +90,7 @@ def assign_and_stats(
     s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
     phi_mat = phi.reshape(3 * k_slots, f).T  # [F, 3K]
 
-    xs = (_chunk(x, chunk), _chunk(valid, chunk))
+    xs = (_chunk(x, chunk), _chunk(unblock_stream(valid), chunk))
     n_chunks = xs[0].shape[0]
 
     def body(carry, inp):
@@ -114,7 +135,11 @@ def assign_and_stats(
     (stats_lr, _), (labels, sublabels) = jax.lax.scan(
         body, (acc0, jnp.int32(0)), xs, length=n_chunks
     )
-    return labels.reshape(-1), sublabels.reshape(-1), stats_lr
+    return (
+        block_stream(labels.reshape(-1)),
+        block_stream(sublabels.reshape(-1)),
+        stats_lr,
+    )
 
 
 def pick_tile(chunk: int, d: int, k_slots: int, f: int,
@@ -180,7 +205,8 @@ def stats_only(
     stats_precision: str = "highest", enable=None,
     x_is_features: bool = False,
 ):
-    """Recompute per-(slot, side) statistics from given labels/sub-labels.
+    """Recompute per-(slot, side) statistics from given labels/sub-labels
+    (all three streams lane-blocked [N/128, 128], see :func:`block_stream`).
 
     Used after split moves and bad-cluster resets rewrite labels
     (reference ``update_suff_stats_posterior!``,
@@ -210,9 +236,9 @@ def stats_only(
     s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
     xs = (
         _chunk(x, chunk),
-        _chunk(valid, chunk),
-        _chunk(labels, chunk),
-        _chunk(sublabels, chunk),
+        _chunk(unblock_stream(valid), chunk),
+        _chunk(unblock_stream(labels), chunk),
+        _chunk(unblock_stream(sublabels), chunk),
     )
 
     def body(acc, inp):

@@ -113,11 +113,15 @@ class TierMigrator:
 
 @dataclasses.dataclass
 class DPMMState:
-    """The complete sampler state (a pytree of device arrays)."""
+    """The complete sampler state (a pytree of device arrays).
+
+    Per-point streams are LANE-BLOCKED: ``[N_pad/128, 128]`` row-sharded
+    over the data axis (see ``sampler.assign.block_stream`` -- 1-D [N]
+    streams force 128x-padded relayout copies around the TPU kernels)."""
 
     table: Any          # replicated cluster table
-    labels: jax.Array   # i32[N_pad] sharded over data
-    sublabels: jax.Array  # i32[N_pad] in {0, 1}
+    labels: jax.Array   # i32[N_pad/128, 128] sharded over data (dim 0)
+    sublabels: jax.Array  # i32[N_pad/128, 128] in {0, 1}
     key: jax.Array      # replicated PRNG key
     step: int = 0
 
@@ -265,10 +269,11 @@ class DPMMEngine:
         def _rand_assign(key, n_pad: int):
             key, kl, ks, kp = jax.random.split(key, 4)
             offset = 1 if cfg.outlier_mod > 0 else 0
+            shape = (n_pad // 128, 128)  # lane-blocked streams
             labels = jax.random.randint(
-                kl, (n_pad,), offset, offset + cfg.init_clusters, jnp.int32
+                kl, shape, offset, offset + cfg.init_clusters, jnp.int32
             )
-            sub = jax.random.randint(ks, (n_pad,), 0, 2, jnp.int32)
+            sub = jax.random.randint(ks, shape, 0, 2, jnp.int32)
             return key, kp, labels, sub
 
         # Outputs are born with their final shardings: a host
@@ -282,8 +287,12 @@ class DPMMEngine:
 
     # -- data placement -----------------------------------------------------
     def pad_size(self, n: int) -> int:
-        """Global padded row count: divisible by n_dev * chunk_size."""
-        return _round_up(max(n, 1), self.n_dev * self.cfg.chunk_size)
+        """Global padded row count: divisible by n_dev * chunk_size AND by
+        n_dev * 128 (per-point streams are lane-blocked [N/128, 128])."""
+        import math
+
+        unit = self.n_dev * math.lcm(self.cfg.chunk_size, 128)
+        return _round_up(max(n, 1), unit)
 
     def featurize(self, points):
         """Build the per-point feature rows ONCE (config
@@ -306,7 +315,9 @@ class DPMMEngine:
         xp[:n] = x
         ds = data_sharding(self.mesh)
         points = jax.device_put(xp, ds)
-        valid = jax.device_put(np.arange(n_pad) < n, ds)
+        valid = jax.device_put(
+            (np.arange(n_pad) < n).reshape(n_pad // 128, 128), ds
+        )
         n_total = jax.device_put(jnp.float32(n), replicated(self.mesh))
         return points, valid, n_total
 
@@ -328,7 +339,9 @@ class DPMMEngine:
             offset = 1 if cfg.outlier_mod > 0 else 0
             lp = np.full((n_pad,), offset, np.int32)
             lp[: len(init_labels)] = np.asarray(init_labels, np.int32) + offset
-            labels = jax.device_put(lp, data_sharding(self.mesh))
+            labels = jax.device_put(
+                lp.reshape(n_pad // 128, 128), data_sharding(self.mesh)
+            )
 
         flat3 = self._init_stats(points, valid, labels, sublabels)
         if cfg.smart_splits:
@@ -443,12 +456,12 @@ def run_loop(
         block = max(1, cfg.fused_block)
         metrics_buf = []
         it = first_iter
+        t_start = time.perf_counter()
         while it < iters:
             b = min(block, iters - it)
             rng_it = np.arange(it, it + b)
             finals = rng_it >= iters - cfg.argmax_sample_stop
             nms = rng_it >= iters - cfg.split_stop
-            t0 = time.perf_counter()
             state, metrics = engine.step_block(
                 state, points, valid, n_total, finals, nms
             )
@@ -458,8 +471,14 @@ def run_loop(
                 # one-scalar host sync per block; tier for the next block
                 k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
                 state, engine = tier_step(state, engine, k_now)
-            hist.times.extend([(time.perf_counter() - t0) / b] * b)
+        # The device_get below is the ONE fence for every dispatched block,
+        # so per-sweep wall time is only honest as the fenced mean: timing
+        # each dispatch individually would measure enqueue latency, not
+        # sweep cost (async dispatch).  hist.times is that mean, repeated.
         fetched = jax.device_get(metrics_buf)
+        n_done = iters - first_iter
+        mean_t = (time.perf_counter() - t_start) / max(n_done, 1)
+        hist.times.extend([mean_t] * n_done)
         for m in fetched:
             hist.k.extend(np.asarray(m["k"]).tolist())
             hist.log_posterior.extend(np.asarray(m["log_posterior"]).tolist())
@@ -482,7 +501,9 @@ def run_loop(
         if gt is not None:
             from ..utils.metrics import nmi as nmi_fn
 
-            labels_h = np.asarray(jax.device_get(state.labels))[:n_valid]
+            labels_h = np.asarray(
+                jax.device_get(state.labels)
+            ).reshape(-1)[:n_valid]
             hist.nmi.append(nmi_fn(gt, labels_h))
         if verbose:
             msg = (

@@ -46,16 +46,25 @@ def top_eigvec(mat: jax.Array, iters: int = 25) -> jax.Array:
 
 def smart_sublabels(
     points: jax.Array,      # [N, D]
-    valid: jax.Array,       # [N] bool
-    labels: jax.Array,      # [N] slot ids
-    sublabels: jax.Array,   # [N] {0,1}
+    valid: jax.Array,       # bool, lane-blocked [N/128, 128]
+    labels: jax.Array,      # slot ids, lane-blocked [N/128, 128]
+    sublabels: jax.Array,   # {0,1}, lane-blocked [N/128, 128]
     stats_w,                # whole-side stats pytree: n [K], sum_x [K,D], sum_xx [K,D,D]
     slots_mask: jax.Array,  # [K] bool: slots to (re)initialize
     max_iter: int,
     axis_name: Optional[str] = None,
 ) -> jax.Array:
-    """Returns sub-labels with points of marked slots set by the projected
-    2-means; all other points keep their current sub-label."""
+    """Returns sub-labels (lane-blocked) with points of marked slots set by
+    the projected 2-means; all other points keep their current sub-label.
+
+    Streams arrive lane-blocked (see assign.block_stream); the segment-sum
+    reductions and per-point gathers here need flat [N] views, which are
+    free reshapes.
+    """
+    blocked_shape = sublabels.shape
+    valid = valid.reshape(-1)
+    labels = labels.reshape(-1)
+    sublabels = sublabels.reshape(-1)
     k = slots_mask.shape[0]
     nk = jnp.maximum(stats_w["n"], 1.0)
     mu = stats_w["sum_x"] / nk[:, None]                     # [K, D]
@@ -104,4 +113,4 @@ def smart_sublabels(
     side = (jnp.abs(t - m_pt[:, 1]) < jnp.abs(t - m_pt[:, 0])).astype(
         sublabels.dtype
     )
-    return jnp.where(in_slot, side, sublabels)
+    return jnp.where(in_slot, side, sublabels).reshape(blocked_shape)

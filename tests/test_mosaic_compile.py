@@ -40,7 +40,7 @@ def test_fused_assign_compiles_for_tpu(family, d, f, k_slots):
     tile = 512
     n = 4 * tile
     x = jnp.zeros((n, d), jnp.float32)
-    valid = jnp.ones((n,), bool)
+    valid = jnp.ones((n // 128, 128), bool)   # lane-blocked stream
     phi = jnp.zeros((f, 3 * k_slots), jnp.float32)
     logw = jnp.zeros((k_slots,), jnp.float32)
     loglrw = jnp.zeros((2, k_slots), jnp.float32)
@@ -60,9 +60,9 @@ def test_stats_from_labels_compiles_for_tpu(family, d, f):
     tile = 512
     n = 4 * tile
     x = jnp.zeros((n, d), jnp.float32)
-    labels = jnp.zeros((n,), jnp.int32)
-    sub = jnp.zeros((n,), jnp.int32)
-    valid = jnp.ones((n,), bool)
+    labels = jnp.zeros((n // 128, 128), jnp.int32)  # lane-blocked streams
+    sub = jnp.zeros((n // 128, 128), jnp.int32)
+    valid = jnp.ones((n // 128, 128), bool)
 
     def fn(x, labels, sub, valid):
         return ps.stats_from_labels(

@@ -26,7 +26,7 @@ def _gaussian_phi(rng, k, d):
 def test_hard_mode_matches_jnp_path(rng):
     n, d, k = 256, 4, 8
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    valid = jnp.asarray(np.arange(n) < 250)
+    valid = A.block_stream(jnp.asarray(np.arange(n) < 250))
     phi = _gaussian_phi(rng, k, d)
     log_w = jnp.log(jnp.full((k,), 1.0 / k))
     log_lrw = jnp.log(jnp.full((k, 2), 0.5))
@@ -56,7 +56,7 @@ def test_sampling_is_calibrated():
     frequencies must match the weights."""
     n, d, k = 4096, 4, 8
     x = jnp.zeros((n, d), jnp.float32)
-    valid = jnp.ones((n,), bool)
+    valid = A.block_stream(jnp.ones((n,), bool))
     phi1 = np.zeros(1 + d + d * (d + 1) // 2, np.float32)
     phi = jnp.asarray(np.tile(phi1, (k, 3, 1)))
     w = np.asarray([0.4, 0.3, 0.2, 0.05, 0.02, 0.01, 0.01, 0.01], np.float32)
@@ -66,9 +66,9 @@ def test_sampling_is_calibrated():
         log_lrw, jnp.asarray(False), GAUSSIAN, 512,
         use_pallas=True, interpret=True,
     )
-    freq = np.bincount(np.asarray(labels), minlength=k) / n
+    freq = np.bincount(np.asarray(labels).reshape(-1), minlength=k) / n
     np.testing.assert_allclose(freq, w, atol=0.03)
-    side = np.bincount(np.asarray(sub), minlength=2) / n
+    side = np.bincount(np.asarray(sub).reshape(-1), minlength=2) / n
     np.testing.assert_allclose(side, [0.5, 0.5], atol=0.03)
 
 
@@ -77,7 +77,7 @@ def test_multinomial_kernel(rng):
     x = jnp.asarray(
         rng.integers(0, 5, size=(n, d)).astype(np.float32)
     )
-    valid = jnp.ones((n,), bool)
+    valid = A.block_stream(jnp.ones((n,), bool))
     logp = np.log(rng.dirichlet(np.ones(d), size=(k, 3)).astype(np.float32))
     phi = jnp.asarray(
         np.concatenate([np.zeros((k, 3, 1), np.float32), logp], axis=-1)
@@ -99,9 +99,13 @@ def test_multinomial_kernel(rng):
 def test_stats_from_labels_matches_jnp(rng):
     n, d, k = 256, 4, 8
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
-    valid = jnp.asarray(np.arange(n) < 240)
-    labels = jnp.asarray(rng.integers(0, k, size=n).astype(np.int32))
-    sub = jnp.asarray(rng.integers(0, 2, size=n).astype(np.int32))
+    valid = A.block_stream(jnp.asarray(np.arange(n) < 240))
+    labels = A.block_stream(
+        jnp.asarray(rng.integers(0, k, size=n).astype(np.int32))
+    )
+    sub = A.block_stream(
+        jnp.asarray(rng.integers(0, 2, size=n).astype(np.int32))
+    )
     st_jnp = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128)
     st_pal = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128,
                           use_pallas=True, interpret=True)
