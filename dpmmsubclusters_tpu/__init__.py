@@ -18,6 +18,7 @@ from .api import (
     fit,
     fit_distributed,
     run_from_checkpoint,
+    run_from_checkpoint_distributed,
 )
 from .io.npy import load_data
 from .io.checkpoint import load_checkpoint, save_checkpoint
@@ -37,6 +38,7 @@ __all__ = [
     "fit",
     "fit_distributed",
     "run_from_checkpoint",
+    "run_from_checkpoint_distributed",
     "load_data",
     "load_checkpoint",
     "save_checkpoint",

@@ -470,9 +470,10 @@ def fit_distributed(
         jnp.float32(n_global),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )
+    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local)
     state, hist = run_loop(
         engine, state, points, valid, n_total, cfg.iters, verbose=False,
-        engine_fn=engine_fn, k_ceiling=k_ceiling,
+        callback=callback, engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
 
     table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
@@ -485,6 +486,125 @@ def fit_distributed(
     model = DPMMModel(
         family=fam, table=table, shift=np.asarray(shift, np.float32),
         cfg=cfg, n_points=int(n_global), labels_raw=labels_local,
+        sublabels=sub_local,
+        key=np.asarray(jax.device_get(state.key)), step=state.step,
+    )
+    return FitResult(model=model, history=hist)
+
+
+def _distributed_save_callback(fam, cfg: DPMMConfig, shift, n_global,
+                               n_local):
+    """Periodic multi-process checkpoint writer (``cfg.enable_saving``):
+    process 0 writes the master table file, every process its label shard
+    (reference saves from every mode, src/dp-parallel-sampling.jl:396-401)."""
+    if not cfg.enable_saving:
+        return None
+    from .io.checkpoint import save_checkpoint_distributed
+
+    def callback(it, st, _metrics):
+        if (it + 1) % cfg.model_save_interval == 0:
+            save_checkpoint_distributed(
+                f"{cfg.save_path}{cfg.save_file_prefix}{it + 1}.npz",
+                table=st.table, labels=st.labels, sublabels=st.sublabels,
+                key=st.key, step=it + 1, shift=shift, cfg=cfg,
+                family_name=fam.name, n_points_global=int(n_global),
+                n_local=n_local,
+            )
+
+    return callback
+
+
+def run_from_checkpoint_distributed(
+    path: str,
+    x_local,
+    *,
+    iters: Optional[int] = None,
+    **overrides,
+) -> FitResult:
+    """Resume a ``fit_distributed`` run: every process passes the SAME local
+    rows it passed originally and its own label shard is restored
+    (reference ``run_model_from_checkpoint`` re-distributes labels across
+    the same worker set, src/dp-parallel-sampling.jl:428-447)."""
+    from .parallel import distributed as dist
+    from .parallel.mesh import data_sharding, replicated
+    from .io.checkpoint import load_checkpoint_distributed
+
+    ck, shard = load_checkpoint_distributed(path)
+    cfg: DPMMConfig = ck["config"]
+    if iters is not None:
+        overrides["iters"] = iters
+    if overrides:
+        cfg = cfg.replace(**overrides)
+    fam = _FAMILIES[ck["family"]]
+
+    x = np.ascontiguousarray(np.asarray(x_local, np.float32))
+    n_local, d = x.shape
+    if n_local != shard["n_local"]:
+        raise ValueError(
+            f"checkpoint shard holds {shard['n_local']} rows, got {n_local}"
+        )
+    shift = np.asarray(ck["shift"], np.float32)
+
+    mesh = dist.global_data_mesh()
+    n_dev = int(np.prod(mesh.devices.shape))
+    n_est = max(n_local, 1) * jax.process_count()
+    cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n_est, n_dev))
+    cfg = _resolve_precompute(fam, cfg, n_est, d, n_dev)
+    k_saved = int(np.asarray(ck["table"]["active"]).shape[0])
+    engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh, k_start=k_saved)
+
+    points, valid, n_global = dist.shard_points_global(
+        x - shift, mesh, cfg.chunk_size
+    )
+    if cfg.precompute_features:
+        points = engine.featurize(points)
+    # this process's padded row count (same formula as shard_points_global)
+    import math
+
+    mult = jax.local_device_count() * math.lcm(cfg.chunk_size, 128)
+    n_local_pad = ((max(n_local, 1) + mult - 1) // mult) * mult
+
+    def _pad_local_i32(a, fill):
+        out = np.full((n_local_pad,), fill, np.int32)
+        out[:n_local] = a
+        return jax.make_array_from_process_local_data(
+            data_sharding(mesh), out.reshape(n_local_pad // 128, 128)
+        )
+
+    state = DPMMState(
+        table=jax.device_put(
+            jax.tree.map(jnp.asarray, ck["table"]), replicated(mesh)
+        ),
+        labels=_pad_local_i32(shard["labels"], 0),
+        sublabels=_pad_local_i32(shard["sublabels"], 0),
+        key=jax.device_put(jnp.asarray(ck["key"]), replicated(mesh)),
+        step=ck["step"],
+    )
+    if k_saved != engine.cfg.k_max:
+        from .sampler.driver import get_migrator
+
+        state = get_migrator(fam, mesh)(state, engine.cfg.k_max)
+
+    n_total = jax.device_put(
+        jnp.float32(n_global),
+        jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
+    )
+    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local)
+    state, hist = run_loop(
+        engine, state, points, valid, n_total, cfg.iters,
+        first_iter=ck["step"], verbose=False, callback=callback,
+        engine_fn=engine_fn, k_ceiling=k_ceiling,
+    )
+    table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
+    labels_local = np.concatenate(
+        [np.asarray(s.data) for s in state.labels.addressable_shards]
+    ).reshape(-1)[:n_local]
+    sub_local = np.concatenate(
+        [np.asarray(s.data) for s in state.sublabels.addressable_shards]
+    ).reshape(-1)[:n_local]
+    model = DPMMModel(
+        family=fam, table=table, shift=shift, cfg=cfg,
+        n_points=int(n_global), labels_raw=labels_local,
         sublabels=sub_local,
         key=np.asarray(jax.device_get(state.key)), step=state.step,
     )

@@ -57,6 +57,15 @@ class DPMMConfig:
     stats_precision: str = "highest"  # statistics-matmul precision; the
     # covariance suff stat cancels E[xx] - mu mu^T, so keep exact f32 unless
     # profiling shows it matters (data centering already bounds the damage)
+    exact_post_move_stats: bool = False  # reference-exact chain: after
+    # bad-cluster resets and accepted splits, re-randomize the affected
+    # points' sub-labels and recompute realized statistics with an O(N)
+    # pass (reference reset_bad_clusters!/split_cluster_local_worker!,
+    # src/local_clusters_actions.jl:265-278,481-516).  The default False
+    # replaces both with their exact expectation (sub-stats = whole/2) --
+    # benchmarks/parity.py quantifies that the two chains are
+    # statistically indistinguishable; this flag exists for that A/B and
+    # for users who want the reference chain verbatim.
 
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None

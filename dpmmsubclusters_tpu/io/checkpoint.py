@@ -55,6 +55,67 @@ def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
     np.savez(path, **payload)
 
 
+def save_checkpoint_distributed(path: str, *, table, labels, sublabels, key,
+                                step: int, shift, cfg: DPMMConfig,
+                                family_name: str, n_points_global: int,
+                                n_local: int):
+    """Multi-process checkpoint: EVERY process calls this.
+
+    Process 0 writes the master file ``path`` (replicated table + key +
+    step + config; the label fields hold process 0's shard) and every
+    process writes ``path.shard<i>.npz`` with its local label rows.  Resume via
+    :func:`load_checkpoint_distributed` on the same process grid with the
+    same per-process data rows (the reference's checkpoint-resume likewise
+    re-distributes labels across the same worker set,
+    src/dp-parallel-sampling.jl:428-447).
+    """
+    import jax
+
+    proc = jax.process_index()
+    lab_local = np.concatenate(
+        [np.asarray(s.data) for s in labels.addressable_shards]
+    ).reshape(-1)[:n_local]
+    sub_local = np.concatenate(
+        [np.asarray(s.data) for s in sublabels.addressable_shards]
+    ).reshape(-1)[:n_local]
+    np.savez(
+        f"{path}.shard{proc}.npz",
+        labels=lab_local,
+        sublabels=sub_local,
+        n_local=np.asarray(n_local),
+        process=np.asarray(proc),
+        num_processes=np.asarray(jax.process_count()),
+        step=np.asarray(step),
+    )
+    if proc == 0:
+        save_checkpoint(
+            path, table=table, labels=lab_local, sublabels=sub_local,
+            key=key, step=step, shift=shift, cfg=cfg,
+            family_name=family_name, n_points=n_points_global,
+        )
+
+
+def load_checkpoint_distributed(path: str):
+    """Returns (master dict as :func:`load_checkpoint`, local shard dict
+    with this process's ``labels``/``sublabels``/``n_local``)."""
+    import jax
+
+    proc = jax.process_index()
+    master = load_checkpoint(path)
+    with np.load(f"{path}.shard{proc}.npz") as z:
+        if int(z["num_processes"]) != jax.process_count():
+            raise ValueError(
+                f"checkpoint was written by {int(z['num_processes'])} "
+                f"processes, resuming with {jax.process_count()}"
+            )
+        shard = {
+            "labels": z["labels"],
+            "sublabels": z["sublabels"],
+            "n_local": int(z["n_local"]),
+        }
+    return master, shard
+
+
 def load_checkpoint(path: str):
     """Returns a dict with table (nested), labels, sublabels, key, step,
     shift, n_points, config (DPMMConfig), family (str)."""

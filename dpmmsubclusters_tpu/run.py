@@ -17,16 +17,20 @@ JSON keys = :class:`~dpmmsubclusters_tpu.config.DPMMConfig` fields, plus:
   outlier_prior    optional, same shape as prior
   gt_path          optional npy ground-truth labels (enables NMI reporting)
 
-Run:  python -m dpmmsubclusters_tpu.run params.json
+Run:      python -m dpmmsubclusters_tpu.run params.json
+Resume:   python -m dpmmsubclusters_tpu.run --resume ckpt.npz params.json
+          (optionally --iters N to extend the run; counterpart of the
+          reference's ``run_model_from_checkpoint``,
+          src/dp-parallel-sampling.jl:428-447)
 """
 from __future__ import annotations
 
+import argparse
 import json
-import sys
 
 import numpy as np
 
-from .api import FitResult, fit
+from .api import FitResult, fit, run_from_checkpoint
 from .io.npy import load_data
 
 
@@ -61,12 +65,37 @@ def fit_from_params(path: str) -> FitResult:
     )
 
 
+def resume_from_params(ckpt: str, path: str, iters=None) -> FitResult:
+    """Resume from a checkpoint; the params file supplies the data
+    (``data_path``/``data_transposed``/``gt_path`` -- everything else comes
+    from the checkpointed config, overridable via --iters)."""
+    with open(path) as f:
+        params = json.load(f)
+    data = load_data(
+        params.pop("data_path"),
+        swapdims=bool(params.pop("data_transposed", False)),
+    )
+    gt = None
+    if "gt_path" in params:
+        gt = np.load(params.pop("gt_path")).astype(np.int64)
+    return run_from_checkpoint(ckpt, data, iters=iters, gt=gt)
+
+
 def main(argv=None):
-    argv = sys.argv[1:] if argv is None else argv
-    if len(argv) != 1:
-        print(__doc__)
-        raise SystemExit(2)
-    result = fit_from_params(argv[0])
+    ap = argparse.ArgumentParser(
+        prog="python -m dpmmsubclusters_tpu.run", description=__doc__,
+        formatter_class=argparse.RawDescriptionHelpFormatter,
+    )
+    ap.add_argument("params", help="JSON params file")
+    ap.add_argument("--resume", metavar="CKPT",
+                    help="checkpoint .npz to resume from")
+    ap.add_argument("--iters", type=int, default=None,
+                    help="with --resume: total iterations to run to")
+    args = ap.parse_args(argv)
+    if args.resume:
+        result = resume_from_params(args.resume, args.params, args.iters)
+    else:
+        result = fit_from_params(args.params)
     print(f"K = {result.k}")
     print(f"weights = {np.round(result.weights, 4).tolist()}")
     print(f"log_posterior = {result.model.log_posterior():.2f}")

@@ -121,7 +121,7 @@ def reset_bad(table, family):
     )
     stats = family.stats_from_flat(flat, dim)
     table = {**table, "stats": stats, "hist": hist, "splittable": splittable}
-    return compute_posteriors(family, table), any_bad
+    return compute_posteriors(family, table), any_bad, bad
 
 
 def _scatter_rows(arr, dst, src_rows):

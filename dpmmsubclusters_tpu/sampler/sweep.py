@@ -151,7 +151,27 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         # F: reset clusters with an empty sub-cluster (sub-stats become the
         # halved whole-stats -- their expectation under re-randomized
         # sub-labels; no O(N) work at all, see moves.reset_bad)
-        table, any_bad = moves.reset_bad(table, family)
+        table, any_bad, bad_mask = moves.reset_bad(table, family)
+
+        def redraw_and_recompute(krr, flag, slot_mask, table, labels,
+                                 sublabels):
+            """Reference-exact chain (cfg.exact_post_move_stats): points of
+            the flagged slots get fresh Bernoulli(1/2) sub-labels and the
+            table statistics are recomputed from realized labels with an
+            O(N) pass (reset_bad_clusters! / split_cluster_local_worker!,
+            src/local_clusters_actions.jl:265-278,481-516)."""
+            in_slot = jnp.take(slot_mask, labels) & flag
+            fresh = jax.random.bernoulli(
+                jax.random.fold_in(krr, dev), 0.5, sublabels.shape
+            ).astype(sublabels.dtype)
+            sublabels = jnp.where(in_slot, fresh, sublabels)
+            return gated_recompute(flag, table, labels, sublabels), sublabels
+
+        if cfg.exact_post_move_stats:
+            key, krb = jax.random.split(key)
+            table, sublabels = redraw_and_recompute(
+                krb, any_bad, bad_mask, table, labels, sublabels
+            )
 
         # G: split + merge moves
         def do_moves(args):
@@ -172,6 +192,11 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                 kg1, table, labels, sublabels, alpha, final, family,
                 lm=lm3,
             )
+            if cfg.exact_post_move_stats and not cfg.smart_splits:
+                # reference-exact: realized post-split sub-labels + stats
+                table, sublabels = redraw_and_recompute(
+                    kg1, any_split, touched, table, labels, sublabels
+                )
             if cfg.smart_splits:
                 # PCA + 2-means sub-label init of the affected slots
                 # (reference check_and_split! -> smart_cluster_init!,

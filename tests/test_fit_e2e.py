@@ -157,6 +157,13 @@ def test_params_file_mode(tmp_path):
     assert res.k == 4
     assert len(res.history.nmi) == 60
 
+    # CLI resume path (reference run_model_from_checkpoint advanced mode,
+    # src/dp-parallel-sampling.jl:428-447): save, then `--resume` extends
+    res.model.save(str(tmp_path / "ck.npz"))
+    from dpmmsubclusters_tpu.run import main as run_main
+    run_main(["--resume", str(tmp_path / "ck.npz"),
+              "--iters", "70", str(tmp_path / "params.json")])
+
 
 def test_precomputed_features_matches_quality():
     """precompute_features=True streams [N, F] feature rows instead of

@@ -144,7 +144,7 @@ def test_merge_move_skips_when_fewer_than_two_eligible():
 def test_reset_bad_resets_empty_subcluster():
     (table, cfg) = _table_with_counts([(100, 0), (30, 30)])
     table = {**table, "splittable": jnp.asarray([True, True] + [False] * 6)}
-    t2, any_bad = moves.reset_bad(table, GAUSSIAN)
+    t2, any_bad, bad = moves.reset_bad(table, GAUSSIAN)
     assert bool(any_bad)
     assert not bool(t2["splittable"][0])
     assert bool(t2["splittable"][1])

@@ -33,29 +33,26 @@ print(f"proc {proc}: OK K={res.k}")
 """
 
 
-@pytest.mark.slow
-def test_two_process_fit(tmp_path):
-    script = tmp_path / "worker.py"
-    script.write_text(_WORKER)
+def _run_workers(script_path, n=2, timeout=600):
     env = dict(os.environ)
     env["PYTHONPATH"] = os.path.dirname(os.path.dirname(__file__))
     env.pop("JAX_PLATFORMS", None)
     procs = [
         subprocess.Popen(
-            [sys.executable, str(script), str(i)],
+            [sys.executable, str(script_path), str(i)],
             stdout=subprocess.PIPE, stderr=subprocess.STDOUT,
             env=env, text=True,
         )
-        for i in range(2)
+        for i in range(n)
     ]
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=600)
+            out, _ = p.communicate(timeout=timeout)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
-            pytest.fail("multi-process fit timed out")
+            pytest.fail("multi-process run timed out")
         outs.append(out)
     for i, (p, out) in enumerate(zip(procs, outs)):
         if p.returncode != 0:
@@ -64,3 +61,82 @@ def test_two_process_fit(tmp_path):
                             f"{out[-500:]}")
             pytest.fail(f"proc {i} failed:\n{out[-3000:]}")
         assert f"proc {i}: OK" in out
+    return outs
+
+
+@pytest.mark.slow
+def test_two_process_fit(tmp_path):
+    script = tmp_path / "worker.py"
+    script.write_text(_WORKER)
+    _run_workers(script)
+
+
+_SAVE_WORKER = r"""
+import sys
+proc = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:12991", 2, proc)
+import numpy as np
+import dpmmsubclusters_tpu as dpmm
+
+n = 1000
+x = np.zeros((n, 2), np.float32)
+for i, c in enumerate([[10, 10], [-10, 10], [10, -10], [-10, -10]]):
+    x[i * 250 : (i + 1) * 250] = c
+x_local = x[proc::2]
+res = dpmm.fit_distributed(
+    x_local, alpha=100.0, iters=40, seed=6, burnout=5,
+    enable_saving=True, model_save_interval=40,
+    save_path="CKDIR/", save_file_prefix="dist_",
+)
+print(f"proc {proc}: OK saved K={res.k}")
+"""
+
+_RESUME_WORKER = r"""
+import sys
+proc = int(sys.argv[1])
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+jax.distributed.initialize("localhost:12993", 2, proc)
+import numpy as np
+import dpmmsubclusters_tpu as dpmm
+
+n = 1000
+x = np.zeros((n, 2), np.float32)
+gt = np.zeros(n, np.int64)
+for i, c in enumerate([[10, 10], [-10, 10], [10, -10], [-10, -10]]):
+    x[i * 250 : (i + 1) * 250] = c
+    gt[i * 250 : (i + 1) * 250] = i
+x_local = x[proc::2]
+res = dpmm.run_from_checkpoint_distributed(
+    "CKDIR/dist_40.npz", x_local, iters=80,
+)
+assert res.model.step == 80, res.model.step
+assert res.k == 4, res.k
+assert dpmm.nmi(gt[proc::2], res.labels) > 0.999
+print(f"proc {proc}: OK resumed K={res.k}")
+"""
+
+
+@pytest.mark.slow
+def test_two_process_save_kill_resume(tmp_path):
+    """fit_distributed saves mid-run; fresh processes resume from the
+    checkpoint and converge (reference resume semantics,
+    src/dp-parallel-sampling.jl:396-401,428-447)."""
+    ckdir = str(tmp_path / "ck")
+    os.makedirs(ckdir, exist_ok=True)
+    save = tmp_path / "save_worker.py"
+    save.write_text(_SAVE_WORKER.replace("CKDIR", ckdir))
+    _run_workers(save)
+    assert os.path.exists(f"{ckdir}/dist_40.npz")
+    assert os.path.exists(f"{ckdir}/dist_40.npz.shard0.npz")
+    assert os.path.exists(f"{ckdir}/dist_40.npz.shard1.npz")
+
+    resume = tmp_path / "resume_worker.py"
+    resume.write_text(_RESUME_WORKER.replace("CKDIR", ckdir))
+    _run_workers(resume)
