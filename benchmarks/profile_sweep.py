@@ -44,7 +44,8 @@ def main():
 
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
                      verbose=False, track_posterior=False,
-                     merge_candidates=4 * k_max)
+                     merge_candidates=4 * k_max,
+                     precompute_features=True)  # match bench.py's flagship
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
 
@@ -53,6 +54,7 @@ def main():
     lab = rng.integers(0, 64, size=n)
     x = means[lab] + rng.standard_normal((n, d)).astype(np.float32)
     points, valid, n_total = engine.shard_points(x - x.mean(0))
+    points = engine.featurize(points)
     prior = GAUSSIAN.default_prior(d)
     state = engine.init_state(jax.random.PRNGKey(0), points, valid, prior)
 
@@ -97,7 +99,8 @@ def main():
             jnp.asarray(False), GAUSSIAN, cfg.chunk_size,
             use_pallas=use_pallas, interpret=interpret,
             ll_precision=cfg.ll_precision,
-            stats_precision=cfg.stats_precision)
+            stats_precision=cfg.stats_precision,
+            x_is_features=bool(cfg.precompute_features))
 
     assign_j = jax.jit(shard_map(
         lambda r, t: _assign(r, t), mesh=mesh, in_specs=(rspec, rspec),
@@ -107,7 +110,8 @@ def main():
         return assign_mod.stats_only(
             points, valid, labels, sublabels, k_max, GAUSSIAN,
             cfg.chunk_size, use_pallas=use_pallas, interpret=interpret,
-            stats_precision=cfg.stats_precision)
+            stats_precision=cfg.stats_precision,
+            x_is_features=bool(cfg.precompute_features))
 
     stats_j = jax.jit(shard_map(
         lambda r, l, s: _stats(r, l, s), mesh=mesh,

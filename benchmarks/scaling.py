@@ -1,14 +1,16 @@
 """Multi-process scaling-efficiency benchmark (CPU analog of multi-host).
 
-Fixed total workload (N points), split over P = 1 then 2 processes with 1
-CPU device each, cross-process gloo collectives -- the single-machine
-analog of the reference's multi-machine mode and of a 2-host TPU run (the
-per-sweep communication is the same ONE [K, 2, F] psum either way).
+Fixed total workload (N points), split over P in {1, 2, 4, 8} processes
+with 1 CPU device each, cross-process gloo collectives -- the
+single-machine analog of the reference's multi-machine mode and of a
+multi-host TPU run (the per-sweep communication is the same ONE [K, 2, F]
+psum either way).
 
-Prints one JSON line with median warm ms/sweep at each P and the scaling
-efficiency t1 / (2 * t2).
+Prints one JSON line per P with warm ms/sweep and the strong-scaling
+efficiency t1 / (P * tP), plus a final summary line.
 
-Usage: python benchmarks/scaling.py [n_total] [d] [k_true]
+Usage: python benchmarks/scaling.py [n_total] [d] [k_true] [p_list]
+  p_list: comma-separated process counts, default 1,2,4,8
 """
 import json
 import os
@@ -82,20 +84,30 @@ def main():
     n_total = int(sys.argv[1]) if len(sys.argv) > 1 else 200_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     k_true = int(sys.argv[3]) if len(sys.argv) > 3 else 8
+    p_list = (
+        [int(p) for p in sys.argv[4].split(",")]
+        if len(sys.argv) > 4 else [1, 2, 4, 8]
+    )
 
-    r1 = run_p(1, n_total, d, k_true, 13011)
-    print(f"P=1: {r1}", file=sys.stderr, flush=True)
-    r2 = run_p(2, n_total, d, k_true, 13012)
-    print(f"P=2: {r2}", file=sys.stderr, flush=True)
-
-    eff = r1["ms_per_sweep"] / (2.0 * r2["ms_per_sweep"])
+    rows = []
+    t1 = None
+    for i, p in enumerate(p_list):
+        r = run_p(p, n_total, d, k_true, 13011 + i)
+        if t1 is None:
+            t1 = r["ms_per_sweep"] * p  # normalize in case p_list[0] != 1
+        row = {
+            "metric": "scaling_strong",
+            "n_total": n_total, "d": d, "p": p,
+            "ms_per_sweep": round(r["ms_per_sweep"], 2),
+            "efficiency_vs_p1": round(t1 / (p * r["ms_per_sweep"]), 3),
+            "k": r["k"],
+        }
+        rows.append(row)
+        print(json.dumps(row), flush=True)
     print(json.dumps({
-        "metric": "scaling_efficiency_2proc",
+        "metric": "scaling_efficiency_table",
         "n_total": n_total, "d": d,
-        "p1_ms_per_sweep": round(r1["ms_per_sweep"], 2),
-        "p2_ms_per_sweep": round(r2["ms_per_sweep"], 2),
-        "efficiency": round(eff, 3),
-        "k_p1": r1["k"], "k_p2": r2["k"],
+        "table": {str(r["p"]): r["efficiency_vs_p1"] for r in rows},
     }))
 
 

@@ -109,6 +109,39 @@ def main(which):
             x, lab,
         )
 
+    if "huge_ckpt" in which:
+        # BASELINE config 5's checkpoint/resume half at full 10M x 64 scale:
+        # save mid-run, resume from the file, finish (reference
+        # run_model_from_checkpoint, src/dp-parallel-sampling.jl:428-447)
+        import tempfile
+
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal((100, 64)).astype(np.float32) * 8.0
+        lab = rng.integers(0, 100, size=10_000_000)
+        x = means[lab] + rng.standard_normal((10_000_000, 64)).astype(np.float32)
+        kw = dict(alpha=10.0, seed=1, k_max=192, burnout=5,
+                  track_posterior=False, merge_candidates=768,
+                  auto_tier=False, verbose=False)
+        with tempfile.TemporaryDirectory() as td:
+            t0 = time.perf_counter()
+            res1 = dpmm.fit(x, iters=20, enable_saving=True,
+                            model_save_interval=10, save_path=td + "/", **kw)
+            t_fit = time.perf_counter() - t0
+            ckpt = os.path.join(td, "checkpoint_10.npz")
+            size_mb = os.path.getsize(ckpt) / 1e6
+            t0 = time.perf_counter()
+            res2 = dpmm.run_from_checkpoint(ckpt, x, iters=20, **kw)
+            t_resume = time.perf_counter() - t0
+        print(json.dumps({
+            "config": "gaussian_10M_d64_ckpt_resume",
+            "n": 10_000_000, "d": 64,
+            "fit20_s": round(t_fit, 1),
+            "resume10_s": round(t_resume, 1),
+            "ckpt_mb": round(size_mb, 1),
+            "k_at_save": int(res1.k), "k_after_resume": int(res2.k),
+            "nmi_after_resume": round(dpmm.nmi(lab, res2.labels), 4),
+        }), flush=True)
+
 
 if __name__ == "__main__":
     args = sys.argv[1:] or ["2d", "mnm", "seg"]

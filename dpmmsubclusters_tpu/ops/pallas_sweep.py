@@ -119,7 +119,46 @@ _PRECISIONS = {
     "default": jax.lax.Precision.DEFAULT,   # 1 bf16 pass per f32 matmul
     "high": jax.lax.Precision.HIGH,         # 3 passes (bf16x3, ~f32-faithful)
     "highest": jax.lax.Precision.HIGHEST,   # 6 passes (exact f32)
+    # manual one-sided splits for the STATS matmul only (see _stats_dot):
+    "split2": "split2",                     # 2 passes, ~16-bit-mantissa exact
+    "split3": "split3",                     # 3 passes, f32-faithful
+    # explicit operand cast for the LL matmul only (see _kernel): one TRUE
+    # bf16 pass -- Mosaic multi-passes f32-input dots whatever the flag says
+    "bf16": "bf16",
 }
+
+_STATS_DIMS = (((0,), (0,)), ((), ()))
+
+
+def _stats_dot(ohs, feat, stats_prec):
+    """stats += ohs^T @ feat with a ONE-SIDED bf16 split.
+
+    ``ohs`` is a {0, 1} indicator matrix (one-hot x side x valid), exactly
+    representable in bf16 -- so splitting only ``feat`` into bf16 planes
+    (feat = hi + mid [+ lo], each the bf16 rounding of the residual) makes
+    each MXU pass exact up to the split's mantissa budget: 2 passes give a
+    ~16-bit mantissa, 3 passes >= f32's 24 bits.  Versus symmetric
+    Precision.HIGHEST (6 bf16 passes per f32 matmul) that is a 3x (or 2x)
+    cut of the dominant matmul with no statistical cost -- the suff-stat
+    sums accumulate in f32 either way (preferred_element_type)."""
+    if not isinstance(stats_prec, str):
+        return jax.lax.dot_general(
+            ohs, feat, dimension_numbers=_STATS_DIMS,
+            preferred_element_type=jnp.float32, precision=stats_prec,
+        )
+    o = ohs.astype(jnp.bfloat16)
+    hi = feat.astype(jnp.bfloat16)
+    acc = jax.lax.dot_general(o, hi, dimension_numbers=_STATS_DIMS,
+                              preferred_element_type=jnp.float32)
+    r = feat - hi.astype(jnp.float32)
+    mid = r.astype(jnp.bfloat16)
+    acc = acc + jax.lax.dot_general(o, mid, dimension_numbers=_STATS_DIMS,
+                                    preferred_element_type=jnp.float32)
+    if stats_prec == "split3":
+        lo = (r - mid.astype(jnp.float32)).astype(jnp.bfloat16)
+        acc = acc + jax.lax.dot_general(o, lo, dimension_numbers=_STATS_DIMS,
+                                        preferred_element_type=jnp.float32)
+    return acc
 
 
 def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
@@ -135,8 +174,17 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     t = x.shape[0]
     feat = feat_fn(x, d)              # [T, F]
 
-    ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32,
-                 precision=ll_prec)
+    if ll_prec == "bf16":
+        # explicit single-pass bf16 MXU matmul: Mosaic lowers f32-input
+        # dots to multi-pass regardless of the precision flag, so cast the
+        # operands (the ~1e-3 relative logit noise is far below the Gumbel
+        # sampling noise; validated by the 200k x 32-d quality gate)
+        ll = jnp.dot(feat.astype(jnp.bfloat16),
+                     phi_ref[:].astype(jnp.bfloat16),
+                     preferred_element_type=jnp.float32)
+    else:
+        ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32,
+                     precision=ll_prec)
     # columns: [whole K | left K | right K]
     ll_w = ll[:, :k_slots]
     ll_l = ll[:, k_slots : 2 * k_slots]
@@ -182,12 +230,7 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     wl = oh * ((1.0 - s_f) * v)                                  # [T, K]
     wr = oh * (s_f * v)
     ohs = jnp.concatenate([wl, wr], axis=1)                      # [T, 2K]
-    contrib = jax.lax.dot_general(
-        ohs, feat,
-        dimension_numbers=(((0,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-        precision=stats_prec,
-    )                                                            # [2K, F]
+    contrib = _stats_dot(ohs, feat, stats_prec)                  # [2K, F]
 
     @pl.when(i == 0)
     def _():
@@ -223,12 +266,7 @@ def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
         wl = oh * ((1.0 - s_f) * v)
         wr = oh * (s_f * v)
         ohs = jnp.concatenate([wl, wr], axis=1)
-        contrib = jax.lax.dot_general(
-            ohs, feat,
-            dimension_numbers=(((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=stats_prec,
-        )
+        contrib = _stats_dot(ohs, feat, stats_prec)
 
         @pl.when(i == 0)
         def _():

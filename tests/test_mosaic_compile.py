@@ -36,7 +36,9 @@ CASES = [
 
 @pytest.mark.parametrize("family,d,f", CASES)
 @pytest.mark.parametrize("k_slots", [16, 128])
-def test_fused_assign_compiles_for_tpu(family, d, f, k_slots):
+@pytest.mark.parametrize("stats_precision", ["highest", "split3"])
+def test_fused_assign_compiles_for_tpu(family, d, f, k_slots,
+                                       stats_precision):
     tile = 512
     n = 4 * tile
     x = jnp.zeros((n, d), jnp.float32)
@@ -49,13 +51,15 @@ def test_fused_assign_compiles_for_tpu(family, d, f, k_slots):
         return ps.fused_assign(
             jnp.int32(0), x, valid, phi, logw, loglrw, jnp.int32(0),
             k_slots=k_slots, family_name=family, tile=tile,
+            ll_precision="default", stats_precision=stats_precision,
         )
 
     _export_tpu(fn, x, valid, phi, logw, loglrw)
 
 
 @pytest.mark.parametrize("family,d,f", CASES)
-def test_stats_from_labels_compiles_for_tpu(family, d, f):
+@pytest.mark.parametrize("stats_precision", ["highest", "split3", "split2"])
+def test_stats_from_labels_compiles_for_tpu(family, d, f, stats_precision):
     k_slots = 64
     tile = 512
     n = 4 * tile
@@ -67,7 +71,7 @@ def test_stats_from_labels_compiles_for_tpu(family, d, f):
     def fn(x, labels, sub, valid):
         return ps.stats_from_labels(
             x, labels, sub, valid, k_slots=k_slots, family_name=family,
-            tile=tile, enable=jnp.int32(1),
+            tile=tile, enable=jnp.int32(1), precision=stats_precision,
         )
 
     _export_tpu(fn, x, labels, sub, valid)

@@ -96,6 +96,36 @@ def test_multinomial_kernel(rng):
     assert np.array_equal(np.asarray(l1), np.asarray(l2))
 
 
+@pytest.mark.parametrize("precision,rtol", [("split3", 2e-6),
+                                            ("split2", 3e-5)])
+def test_split_precision_stats_match_f32(rng, precision, rtol):
+    """The one-sided bf16 split (pallas_sweep._stats_dot) must reproduce the
+    exact-f32 statistics: ohs is a {0,1} matrix (exact in bf16), so split3's
+    3 bf16 planes carry >= f32's 24 mantissa bits and split2 ~16 bits.
+    Data is offset from the origin to stress the E[xx] magnitudes the
+    covariance cancellation depends on."""
+    n, d, k = 512, 8, 16
+    x = jnp.asarray(
+        (rng.standard_normal((n, d)) * 3.0 + 20.0).astype(np.float32)
+    )
+    valid = A.block_stream(jnp.asarray(np.arange(n) < 500))
+    labels = A.block_stream(
+        jnp.asarray(rng.integers(0, k, size=n).astype(np.int32))
+    )
+    sub = A.block_stream(
+        jnp.asarray(rng.integers(0, 2, size=n).astype(np.int32))
+    )
+    st_exact = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128,
+                            use_pallas=True, interpret=True,
+                            stats_precision="highest")
+    st_split = A.stats_only(x, valid, labels, sub, k, GAUSSIAN, 128,
+                            use_pallas=True, interpret=True,
+                            stats_precision=precision)
+    np.testing.assert_allclose(
+        np.asarray(st_split), np.asarray(st_exact), rtol=rtol, atol=1e-4
+    )
+
+
 def test_stats_from_labels_matches_jnp(rng):
     n, d, k = 256, 4, 8
     x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
