@@ -37,7 +37,7 @@ def quality():
     lab = rng.integers(0, k_true, size=n)
     x = means[lab] + rng.standard_normal((n, d)).astype(np.float32)
     for prec in MODES:
-        res = dpmm.fit(x, alpha=10.0, iters=60, seed=1, k_max=64,
+        res = dpmm.fit(x, alpha=10.0, iters=200, seed=1, k_max=64,
                        verbose=False, stats_precision=prec)
         row = {"mode": prec, "k": int(res.k),
                "nmi": round(dpmm.nmi(lab, res.labels), 4)}

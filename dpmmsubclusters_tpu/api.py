@@ -40,7 +40,8 @@ def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
     smart splits are off (they need raw points inside the sweep)."""
     pf = cfg.precompute_features
     if pf is None:
-        f_dim = fam.feature_dim(d)
+        # the cache is stored lane-padded (assign.pad_features)
+        f_dim = -(-fam.feature_dim(d) // 128) * 128
         n_local = _round_up(max(n, 1), n_dev * cfg.chunk_size) // n_dev
         pf = (
             fam.name == "gaussian"

@@ -54,9 +54,13 @@ class DPMMConfig:
     ll_precision: str = "default"   # Pallas likelihood-matmul precision:
     # "default" = 1 bf16 MXU pass (logit noise ~1e-3 relative -- far below
     # the Gumbel sampling noise; ~1.5x faster kernel), "highest" = exact f32
-    stats_precision: str = "highest"  # statistics-matmul precision; the
-    # covariance suff stat cancels E[xx] - mu mu^T, so keep exact f32 unless
-    # profiling shows it matters (data centering already bounds the damage)
+    stats_precision: str = "split3"  # statistics-matmul precision.  The
+    # covariance suff stat cancels E[xx] - mu mu^T, so plain bf16 ("default")
+    # is unusable (K=17/NMI 0.964 on the 200k x 32-d gate).  "split3" is the
+    # one-sided bf16 split (ops/pallas_sweep._stats_dot): the one-hot
+    # operand is exact in bf16, so 3 feature planes reproduce exact-f32
+    # stats (rtol 2e-6) at half the MXU passes of "highest" (6).  "split2"
+    # (2 passes, rtol 3e-5) also passes every gate; "highest" = exact f32
     exact_post_move_stats: bool = False  # reference-exact chain: after
     # bad-cluster resets and accepted splits, re-randomize the affected
     # points' sub-labels and recompute realized statistics with an O(N)

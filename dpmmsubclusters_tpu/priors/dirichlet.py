@@ -48,7 +48,9 @@ class MultinomialFamily:
         }
 
     def stats_from_flat(self, flat: jax.Array, d: int):
-        return {"n": flat[..., 0], "sum_x": flat[..., 1:]}
+        # ignore any zero lane-padding columns beyond 1 + d (padded
+        # feature cache; see assign.LANE_PAD)
+        return {"n": flat[..., 0], "sum_x": flat[..., 1 : 1 + d]}
 
     def stats_to_flat(self, stats) -> jax.Array:
         return jnp.concatenate([stats["n"][..., None], stats["sum_x"]], axis=-1)

@@ -109,10 +109,14 @@ class GaussianFamily:
         }
 
     def stats_from_flat(self, flat: jax.Array, d: int):
+        # flat may carry zero lane-padding columns beyond stat_dim(d): the
+        # feature cache is padded to a multiple of 128 lanes (TPU DMA runs
+        # ~2x faster on lane-aligned streams; see assign.LANE_PAD)
+        s = self.stat_dim(d)
         return {
             "n": flat[..., 0],
             "sum_x": flat[..., 1 : 1 + d],
-            "sum_xx": self.unpack_sym(flat[..., 1 + d :], d),
+            "sum_xx": self.unpack_sym(flat[..., 1 + d : s], d),
         }
 
     def stats_to_flat(self, stats) -> jax.Array:

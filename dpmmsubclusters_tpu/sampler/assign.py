@@ -50,6 +50,34 @@ def unblock_stream(a):
     return a.reshape(-1)
 
 
+def pad_features(feat):
+    """Zero-pad the feature dim to a multiple of 128 (the TPU lane count).
+
+    LANE_PAD contract: precomputed feature caches are stored lane-aligned.
+    An unaligned minor dim makes every Pallas input DMA partially-masked:
+    measured on v5e, streaming [1M, 561] f32 runs at ~164 GB/s vs ~420 GB/s
+    for [1M, 640] (benchmarks/kernel_ablate.py DMA study) -- the feature
+    stream is the kernel's bottleneck, so this is ~2x end-to-end.  phi rows
+    are zero-padded to match (zero features x any phi contribute 0 to the
+    log-likelihood) and the trailing stats columns come back as zeros,
+    sliced off in family.stats_from_flat."""
+    f = feat.shape[-1]
+    fp = -(-f // LANES) * LANES
+    if fp == f:
+        return feat
+    pad = [(0, 0)] * (feat.ndim - 1) + [(0, fp - f)]
+    return jnp.pad(feat, pad)
+
+
+def _pad_phi_rows(phi_mat, f_pad: int):
+    """[F, 3K] natural params -> [f_pad, 3K] with zero rows for the
+    lane-padding feature columns."""
+    f = phi_mat.shape[0]
+    if f == f_pad:
+        return phi_mat
+    return jnp.pad(phi_mat, ((0, f_pad - f), (0, 0)))
+
+
 def _chunk(x, chunk):
     n = x.shape[0]
     assert n % chunk == 0, (n, chunk)
@@ -89,6 +117,8 @@ def assign_and_stats(
     f = phi.shape[-1]
     s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
     phi_mat = phi.reshape(3 * k_slots, f).T  # [F, 3K]
+    if x_is_features:
+        phi_mat = _pad_phi_rows(phi_mat, x.shape[-1])  # lane-padded cache
 
     xs = (_chunk(x, chunk), _chunk(unblock_stream(valid), chunk))
     n_chunks = xs[0].shape[0]
@@ -179,10 +209,13 @@ def _assign_and_stats_pallas(
     from ..ops import pallas_sweep
 
     k_slots = phi.shape[0]
-    f = phi.shape[-1]
+    f = x.shape[-1] if x_is_features else phi.shape[-1]
     tile = pick_tile(chunk, x.shape[-1], k_slots, f,
                      built_features=not x_is_features)
-    phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(f, 3 * k_slots)
+    phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(
+        phi.shape[-1], 3 * k_slots)
+    if x_is_features:
+        phi_mat = _pad_phi_rows(phi_mat, f)  # lane-padded feature cache
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
     labels, sub, stats2k = pallas_sweep.fused_assign(
         seed, x, valid, phi_mat, log_w,

@@ -296,11 +296,16 @@ class DPMMEngine:
 
     def featurize(self, points):
         """Build the per-point feature rows ONCE (config
-        ``precompute_features``); the sweep then streams [N, F] instead of
-        rebuilding features per sweep inside the kernel."""
+        ``precompute_features``); the sweep then streams [N, F_pad] instead
+        of rebuilding features per sweep inside the kernel.  The rows are
+        zero-padded to a multiple of 128 lanes: unaligned streams halve the
+        Pallas input-DMA bandwidth (assign.pad_features)."""
         if not hasattr(self, "_featurize"):
+            from .assign import pad_features
+
             self._featurize = jax.jit(
-                self.family.features, out_shardings=data_sharding(self.mesh)
+                lambda x: pad_features(self.family.features(x)),
+                out_shardings=data_sharding(self.mesh),
             )
         return self._featurize(points)
 
