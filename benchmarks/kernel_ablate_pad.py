@@ -6,7 +6,7 @@ the round-2 roofline needs -- the padded F=640 stream (the production layout
 since assign.pad_features) with the production stats precision -- and prints
 the same JSON rows.
 
-Usage: python benchmarks/kernel_ablate_pad.py [n] [d] [k] [stats_prec]
+Usage: python benchmarks/kernel_ablate_pad.py [n] [d] [k] [stats_prec] [tile]
 """
 import json
 import sys
@@ -32,7 +32,7 @@ def main():
     prec = sys.argv[4] if len(sys.argv) > 4 else "split3"
     f = 1 + d + d * (d + 1) // 2
     fp = -(-f // LANES) * LANES  # lane-padded production layout
-    tile = 512
+    tile = int(sys.argv[5]) if len(sys.argv) > 5 else 512
 
     rng = np.random.default_rng(0)
     valid = jnp.ones((n // LANES, LANES), jnp.float32)
@@ -46,6 +46,7 @@ def main():
         ("dot_only", ("dot_only",)),
         ("ll+argmax", ()),
         ("+stats_raw", ("stats_raw",)),
+        ("+stats", ("stats",)),
         ("+gumbel", ("stats", "gumbel")),
         ("+sub", ("stats", "gumbel", "sub")),
         ("+write(full)", ("stats", "gumbel", "sub", "write")),
@@ -67,12 +68,15 @@ def main():
         t0 = time.perf_counter()
         np.asarray(chain(jnp.int32(7), reps))
         ms = (time.perf_counter() - t0) / reps * 1e3
-        gbps = n * fp * 4 / (ms * 1e-3) / 1e9
-        print(json.dumps({
-            "variant": name, "f": fp, "ms": round(ms, 2),
+        row = {
+            "variant": name, "f": fp, "tile": tile, "ms": round(ms, 2),
             "delta_ms": round(ms - prev, 2) if prev is not None else None,
-            "GB_s": round(gbps, 0),
-        }), flush=True)
+        }
+        # input-stream bandwidth is only a *measurement* for the DMA/dot
+        # studies; later (compute-bound) rows would misread next to them
+        if name in ("dma_only", "dot_only"):
+            row["GB_s"] = round(n * fp * 4 / (ms * 1e-3) / 1e9, 0)
+        print(json.dumps(row), flush=True)
         prev = ms
 
 

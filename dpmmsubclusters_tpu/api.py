@@ -81,10 +81,32 @@ def _tier_setup(fam, cfg: DPMMConfig, mesh, k_start: Optional[int] = None):
 _ENGINE_CACHE: dict = {}
 
 
+def _ensure_compile_cache(cfg: DPMMConfig) -> None:
+    """Wire the persistent XLA compilation cache into the product path
+    (``cfg.compile_cache_dir``).  Defers to any cache dir the process
+    already configured; never raises (a read-only home dir just means no
+    cache)."""
+    d = cfg.compile_cache_dir
+    if not d:
+        return
+    import os
+
+    try:
+        if jax.config.jax_compilation_cache_dir is not None:
+            return
+        path = os.path.expanduser(d)
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2)
+    except Exception:
+        pass
+
+
 def _get_engine(fam, cfg: DPMMConfig, mesh) -> DPMMEngine:
     key = (fam.name, cfg, tuple(d.id for d in mesh.devices.flat))
     eng = _ENGINE_CACHE.get(key)
     if eng is None:
+        _ensure_compile_cache(cfg)
         eng = DPMMEngine(fam, cfg, mesh)
         if len(_ENGINE_CACHE) > 8:
             _ENGINE_CACHE.clear()
@@ -522,15 +544,20 @@ def run_from_checkpoint_distributed(
     iters: Optional[int] = None,
     **overrides,
 ) -> FitResult:
-    """Resume a ``fit_distributed`` run: every process passes the SAME local
-    rows it passed originally and its own label shard is restored
-    (reference ``run_model_from_checkpoint`` re-distributes labels across
-    the same worker set, src/dp-parallel-sampling.jl:428-447)."""
+    """Resume a ``fit_distributed`` run.  Every process passes its local
+    rows; the global row order (concatenation over process index) must
+    match the original run's, but the process COUNT and the per-process
+    row partition may differ -- labels are globally re-sharded onto the new
+    grid (the reference refuses this; its ``run_model_from_checkpoint``
+    re-distributes over the same worker set,
+    src/dp-parallel-sampling.jl:428-447)."""
     from .parallel import distributed as dist
     from .parallel.mesh import data_sharding, replicated
     from .io.checkpoint import load_checkpoint_distributed
 
-    ck, shard = load_checkpoint_distributed(path)
+    x = np.ascontiguousarray(np.asarray(x_local, np.float32))
+    n_local, d = x.shape
+    ck, shard = load_checkpoint_distributed(path, n_local=n_local)
     cfg: DPMMConfig = ck["config"]
     if iters is not None:
         overrides["iters"] = iters
@@ -538,8 +565,6 @@ def run_from_checkpoint_distributed(
         cfg = cfg.replace(**overrides)
     fam = _FAMILIES[ck["family"]]
 
-    x = np.ascontiguousarray(np.asarray(x_local, np.float32))
-    n_local, d = x.shape
     if n_local != shard["n_local"]:
         raise ValueError(
             f"checkpoint shard holds {shard['n_local']} rows, got {n_local}"

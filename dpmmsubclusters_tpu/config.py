@@ -74,6 +74,12 @@ class DPMMConfig:
     # --- run control -------------------------------------------------------
     seed: Optional[int] = None
     verbose: bool = True
+    compile_cache_dir: Optional[str] = "~/.cache/dpmmsubclusters_tpu/xla"
+    # persistent XLA compilation cache (None/"" disables).  Applied once, on
+    # first engine construction, and only if the process hasn't already set
+    # jax_compilation_cache_dir -- a fresh process then pays seconds instead
+    # of minutes of compiles for every (shape, tier) program it has seen
+    # before.  No reference counterpart; TPU table stakes.
 
     # --- checkpointing (reference src/global_params.jl:36-40) --------------
     enable_saving: bool = False

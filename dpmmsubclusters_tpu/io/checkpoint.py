@@ -95,25 +95,80 @@ def save_checkpoint_distributed(path: str, *, table, labels, sublabels, key,
         )
 
 
-def load_checkpoint_distributed(path: str):
+def load_checkpoint_distributed(path: str, n_local: "int | None" = None):
     """Returns (master dict as :func:`load_checkpoint`, local shard dict
-    with this process's ``labels``/``sublabels``/``n_local``)."""
+    with this process's ``labels``/``sublabels``/``n_local``).
+
+    Resuming on a DIFFERENT process count than the one that saved is a
+    re-shard, not a redesign: the table is replicated and labels are
+    per-point, so this process's labels are a contiguous slice of the
+    global (process-order) label stream.  Pass ``n_local`` = the number of
+    data rows THIS process will feed on resume; the per-process offsets are
+    agreed via an all-gather of the new row counts.  With ``n_local=None``
+    (or when the grid matches and the local row count is unchanged) the
+    same-grid fast path reads only this process's shard file.  All shard
+    files must be reachable from every process (shared filesystem), like
+    the reference's re-read of the original data path on resume
+    (src/dp-parallel-sampling.jl:428-447).
+    """
     import jax
 
     proc = jax.process_index()
     master = load_checkpoint(path)
-    with np.load(f"{path}.shard{proc}.npz") as z:
-        if int(z["num_processes"]) != jax.process_count():
-            raise ValueError(
-                f"checkpoint was written by {int(z['num_processes'])} "
-                f"processes, resuming with {jax.process_count()}"
-            )
-        shard = {
-            "labels": z["labels"],
-            "sublabels": z["sublabels"],
-            "n_local": int(z["n_local"]),
-        }
-    return master, shard
+    if _shard_exists(path, proc):
+        with np.load(f"{path}.shard{proc}.npz") as z:
+            n_saved_procs = int(z["num_processes"])
+            if n_saved_procs == jax.process_count() and (
+                n_local is None or int(z["n_local"]) == n_local
+            ):
+                return master, {
+                    "labels": z["labels"],
+                    "sublabels": z["sublabels"],
+                    "n_local": int(z["n_local"]),
+                }
+    else:
+        with np.load(f"{path}.shard0.npz") as z:
+            n_saved_procs = int(z["num_processes"])
+    if n_local is None:
+        raise ValueError(
+            f"checkpoint was written by {n_saved_procs} processes; to "
+            f"resume on {jax.process_count()} pass n_local (this process's "
+            f"row count) so the label stream can be re-sharded"
+        )
+    # --- re-shard: concatenate saved shards, slice this process's rows ---
+    labels, sublabels = [], []
+    for i in range(n_saved_procs):
+        with np.load(f"{path}.shard{i}.npz") as z:
+            labels.append(z["labels"])
+            sublabels.append(z["sublabels"])
+    labels = np.concatenate(labels)
+    sublabels = np.concatenate(sublabels)
+    # agree on the new per-process offsets (row order is process order,
+    # matching parallel.distributed.shard_points_global)
+    from jax.experimental import multihost_utils
+
+    counts = np.asarray(
+        multihost_utils.process_allgather(np.asarray(n_local))
+    ).reshape(-1)
+    start = int(counts[:proc].sum())
+    stop = start + int(n_local)
+    if stop > len(labels) or int(counts.sum()) != len(labels):
+        raise ValueError(
+            f"re-shard row counts {counts.tolist()} (total "
+            f"{int(counts.sum())}) do not cover the checkpoint's "
+            f"{len(labels)} points"
+        )
+    return master, {
+        "labels": labels[start:stop],
+        "sublabels": sublabels[start:stop],
+        "n_local": int(n_local),
+    }
+
+
+def _shard_exists(path: str, proc: int) -> bool:
+    import os
+
+    return os.path.exists(f"{path}.shard{proc}.npz")
 
 
 def load_checkpoint(path: str):

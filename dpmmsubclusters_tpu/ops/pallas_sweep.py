@@ -165,9 +165,12 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
             valid_ref, labels_ref, sub_ref, stats_ref, *, k_slots: int,
             feat_fn, d: int, ll_prec, stats_prec):
     i = pl.program_id(0)
-    # per-tile seed: mix the host seed with the tile index
+    # per-tile seed: mix the host seed with the GLOBAL tile index
+    # (tile_off = this shard's first tile; makes the per-point RNG stream a
+    # pure function of global row position, invariant to mesh layout)
+    gi = jnp.uint32(i) + jnp.uint32(seed_ref[1])
     seed_u32 = _fmix32(
-        jnp.uint32(seed_ref[0]) + jnp.uint32(i) * jnp.uint32(0x9E3779B9)
+        jnp.uint32(seed_ref[0]) + gi * jnp.uint32(0x9E3779B9)
     )
 
     x = x_ref[:]                      # [T, D]
@@ -361,11 +364,14 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
 def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
                  k_slots: int, family_name: str, tile: int = 512,
                  interpret: bool = False, ll_precision: str = "highest",
-                 stats_precision: str = "highest"):
+                 stats_precision: str = "highest", tile_off=0):
     """Fused assignment + statistics pass.
 
     Args:
-      seed:    i32 scalar (folds the sweep's PRNG key + device index).
+      seed:    i32 scalar (compression of the sweep's PRNG key; identical on
+               every device -- ``tile_off`` provides spatial variation).
+      tile_off: i32 scalar, global index of this shard's first tile; the
+               in-kernel counter RNG keys each tile by its global position.
       x:       [N, D] f32, N % tile == 0.
       valid:   bool lane-blocked [N/128, 128] (see stats_from_labels on why
                per-point streams never travel as 1-D [N] arrays).
@@ -424,7 +430,8 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
         # no lowering for the pltpu PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
     )(
-        jnp.asarray(seed, jnp.int32).reshape(1),
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(tile_off, jnp.int32)]),
         jnp.asarray(hard, jnp.int32).reshape(1),
         x,
         phi_mat,

@@ -99,6 +99,7 @@ def assign_and_stats(
     ll_precision: str = "highest",
     stats_precision: str = "highest",
     x_is_features: bool = False,
+    chunk_offset=0,
 ):
     """Returns (labels i32[N/128, 128], sublabels i32[N/128, 128],
     stats_lr f32[K, 2, S]) -- per-point streams lane-blocked, see
@@ -107,11 +108,22 @@ def assign_and_stats(
     ``x_is_features``: the rows of ``x`` are already the feature rows
     (precomputed once per fit -- skips the per-sweep in-kernel feature
     build, which is VPU-bound narrow-lane work).
+
+    ``chunk_offset`` (traced i32): global index of this shard's first chunk.
+    Per-point randomness is keyed on (key, global chunk index), so draws
+    depend only on a point's global row position -- never on the mesh
+    layout.  RNG POLICY (Pallas path): the sweep key is compressed to a
+    31-bit seed and the in-kernel counter-based hash yields 24-bit-mantissa
+    uniforms (ops/pallas_sweep._gumbel).  Both are deliberate: the Gumbel
+    argmax only consumes O(log K + log(1/gap)) entropy bits per point and
+    the O(1) sampling noise dwarfs the 2^-24 quantization; the multi-seed
+    parity suite (benchmarks/parity.py) validates the stream statistically.
     """
     if use_pallas:
         return _assign_and_stats_pallas(
             key, x, valid, phi, log_w, log_lrw, hard, family, chunk,
             interpret, ll_precision, stats_precision, x_is_features,
+            chunk_offset,
         )
     k_slots = phi.shape[0]
     f = phi.shape[-1]
@@ -126,7 +138,7 @@ def assign_and_stats(
     def body(carry, inp):
         acc, i = carry
         xc, vc = inp
-        kc = jax.random.fold_in(key, i)
+        kc = jax.random.fold_in(key, jnp.int32(chunk_offset) + i)
         k1, k2 = jax.random.split(kc)
 
         # [C, F] -- shared by the ll matmul AND the stats reduction
@@ -202,6 +214,7 @@ def _assign_and_stats_pallas(
     key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
     interpret: bool, ll_precision: str = "highest",
     stats_precision: str = "highest", x_is_features: bool = False,
+    chunk_offset=0,
 ):
     """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
     layouts: phi [K, 3, F] -> [F, 3K] side-major columns; stats [2K, F] ->
@@ -217,10 +230,14 @@ def _assign_and_stats_pallas(
     if x_is_features:
         phi_mat = _pad_phi_rows(phi_mat, f)  # lane-padded feature cache
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
+    # global tile index base: the kernel's per-tile counter RNG mixes
+    # (seed, tile_off + program_id) so draws are mesh-layout-invariant
+    tile_off = jnp.int32(chunk_offset) * (chunk // tile)
     labels, sub, stats2k = pallas_sweep.fused_assign(
         seed, x, valid, phi_mat, log_w,
         jnp.transpose(log_lrw, (1, 0)),
         hard.astype(jnp.int32),
+        tile_off=tile_off,
         k_slots=k_slots,
         family_name="precomputed" if x_is_features else family.name,
         tile=tile,

@@ -393,16 +393,20 @@ class DPMMEngine:
 @dataclasses.dataclass
 class IterStats:
     """Per-iteration history, mirroring run_model's returned histories
-    (src/dp-parallel-sampling.jl:338-344,403)."""
+    (src/dp-parallel-sampling.jl:338-344,403): cluster count, log posterior,
+    wall time, and -- when ground truth is supplied -- NMI and variation of
+    information (the reference records/prints both,
+    src/dp-parallel-sampling.jl:370-386)."""
 
     k: list
     log_posterior: list
     times: list
     nmi: list
+    vi: list
 
     @staticmethod
     def empty():
-        return IterStats([], [], [], [])
+        return IterStats([], [], [], [], [])
 
 
 def run_loop(
@@ -504,19 +508,20 @@ def run_loop(
         hist.log_posterior.append(float(metrics["log_posterior"]))
         hist.times.append(dt)
         if gt is not None:
-            from ..utils.metrics import nmi as nmi_fn
+            from ..utils.metrics import nmi as nmi_fn, varinfo
 
             labels_h = np.asarray(
                 jax.device_get(state.labels)
             ).reshape(-1)[:n_valid]
             hist.nmi.append(nmi_fn(gt, labels_h))
+            hist.vi.append(varinfo(gt, labels_h))
         if verbose:
             msg = (
                 f"iter {it + 1}: K={k_now} "
                 f"log_post={hist.log_posterior[-1]:.2f} t={dt * 1e3:.1f}ms"
             )
             if gt is not None:
-                msg += f" nmi={hist.nmi[-1]:.3f}"
+                msg += f" nmi={hist.nmi[-1]:.3f} vi={hist.vi[-1]:.3f}"
             print(msg)
         if callback is not None:
             callback(it, state, metrics)

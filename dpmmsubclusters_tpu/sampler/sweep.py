@@ -120,8 +120,14 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             if axis_name is not None
             else jnp.int32(0)
         )
-        key, ka, kb, kg1, kg2 = jax.random.split(key, 5)
-        kb_pts = jax.random.fold_in(kb, dev)
+        key, ka, kb, kg1, kg2, krd = jax.random.split(key, 6)
+        # Per-point randomness is keyed by GLOBAL chunk index (not device
+        # index): every device gets the same base key `kb` and offsets by
+        # its first chunk's global position, so a point's draws depend only
+        # on its global row -- the trajectory is invariant to mesh size
+        # (bit-exact whenever the f32 stats reduction is, e.g. the 4-corner
+        # gate; see tests/test_fit_e2e.py::test_single_device_matches_multi).
+        chunk_offset = dev * (points.shape[0] // chunk)
 
         # A + B: replicated parameter draws
         table = moves.sample_params_step(ka, table, alpha, outlier_mod, family)
@@ -129,7 +135,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         # C + D + E: fused assignment & statistics
         hard = final | jnp.asarray(cfg.hard_clustering)
         labels, sublabels, stats_lr = assign_mod.assign_and_stats(
-            kb_pts,
+            kb,
             points,
             valid,
             table["params"]["phi"],
@@ -143,6 +149,7 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             ll_precision=cfg.ll_precision,
             stats_precision=cfg.stats_precision,
             x_is_features=x_is_features,
+            chunk_offset=chunk_offset,
         )
         if axis_name is not None:
             stats_lr = jax.lax.psum(stats_lr, axis_name)
@@ -194,8 +201,10 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             )
             if cfg.exact_post_move_stats and not cfg.smart_splits:
                 # reference-exact: realized post-split sub-labels + stats
+                # (krd is dedicated to this redraw -- kg1 was already
+                # consumed by split_move's MH draws)
                 table, sublabels = redraw_and_recompute(
-                    kg1, any_split, touched, table, labels, sublabels
+                    krd, any_split, touched, table, labels, sublabels
                 )
             if cfg.smart_splits:
                 # PCA + 2-means sub-label init of the affected slots

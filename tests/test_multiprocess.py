@@ -123,11 +123,38 @@ print(f"proc {proc}: OK resumed K={res.k}")
 """
 
 
+_RESHARD_WORKER = r"""
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 8)
+import numpy as np
+import dpmmsubclusters_tpu as dpmm
+
+n = 1000
+x = np.zeros((n, 2), np.float32)
+gt = np.zeros(n, np.int64)
+for i, c in enumerate([[10, 10], [-10, 10], [10, -10], [-10, -10]]):
+    x[i * 250 : (i + 1) * 250] = c
+    gt[i * 250 : (i + 1) * 250] = i
+# global row order = process-order concatenation of the 2-proc run's shards
+x_all = np.concatenate([x[0::2], x[1::2]])
+gt_all = np.concatenate([gt[0::2], gt[1::2]])
+res = dpmm.run_from_checkpoint_distributed("CKDIR/dist_40.npz", x_all,
+                                           iters=80)
+assert res.model.step == 80, res.model.step
+assert res.k == 4, res.k
+assert dpmm.nmi(gt_all, res.labels) > 0.999
+print(f"proc 0: OK resharded K={res.k}")
+"""
+
+
 @pytest.mark.slow
 def test_two_process_save_kill_resume(tmp_path):
     """fit_distributed saves mid-run; fresh processes resume from the
     checkpoint and converge (reference resume semantics,
-    src/dp-parallel-sampling.jl:396-401,428-447)."""
+    src/dp-parallel-sampling.jl:396-401,428-447); finally a SINGLE process
+    resumes the same checkpoint by globally re-sharding the label stream
+    (2-proc save -> 1-proc resume -- unsupported by the reference)."""
     ckdir = str(tmp_path / "ck")
     os.makedirs(ckdir, exist_ok=True)
     save = tmp_path / "save_worker.py"
@@ -140,3 +167,7 @@ def test_two_process_save_kill_resume(tmp_path):
     resume = tmp_path / "resume_worker.py"
     resume.write_text(_RESUME_WORKER.replace("CKDIR", ckdir))
     _run_workers(resume)
+
+    reshard = tmp_path / "reshard_worker.py"
+    reshard.write_text(_RESHARD_WORKER.replace("CKDIR", ckdir))
+    _run_workers(reshard, n=1)
