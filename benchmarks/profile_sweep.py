@@ -91,7 +91,7 @@ def main():
     dspec, rspec = P(DATA_AXIS), P()
     table = state.table
 
-    def _assign(r, table):
+    def _assign(r, table, points, valid):
         return assign_mod.assign_and_stats(
             jax.random.fold_in(jax.random.PRNGKey(9), r), points, valid,
             table["params"]["phi"], table["log_weights"],
@@ -102,11 +102,15 @@ def main():
             stats_precision=cfg.stats_precision,
             x_is_features=bool(cfg.precompute_features))
 
+    # NOTE: points/valid are jit ARGUMENTS everywhere below -- closure
+    # capture would inline them as constants (GBs re-uploaded per compile
+    # on tunneled backends)
     assign_j = jax.jit(shard_map(
-        lambda r, t: _assign(r, t), mesh=mesh, in_specs=(rspec, rspec),
+        _assign, mesh=mesh, in_specs=(rspec, rspec, dspec, dspec),
         out_specs=(dspec, dspec, rspec), check_vma=False))
 
-    def _stats(r, labels, sublabels):
+    def _stats(r, labels, sublabels, points, valid):
+        del r
         return assign_mod.stats_only(
             points, valid, labels, sublabels, k_max, GAUSSIAN,
             cfg.chunk_size, use_pallas=use_pallas, interpret=interpret,
@@ -114,8 +118,9 @@ def main():
             x_is_features=bool(cfg.precompute_features))
 
     stats_j = jax.jit(shard_map(
-        lambda r, l, s: _stats(r, l, s), mesh=mesh,
-        in_specs=(rspec, dspec, dspec), out_specs=rspec, check_vma=False))
+        _stats, mesh=mesh,
+        in_specs=(rspec, dspec, dspec, dspec, dspec), out_specs=rspec,
+        check_vma=False))
 
     def _sample(r, table):
         return moves_mod.sample_params_step(
@@ -137,7 +142,7 @@ def main():
 
     lm3_j = jax.jit(_lm3)
 
-    def _merge(r, table, labels, sublabels):
+    def _merge(r, table, labels, sublabels):  # no data deps
         k = table["active"].shape[0]
         lm3 = GAUSSIAN.log_marginal(
             side_tile(table["prior"]), table["post"], table["stats"],
@@ -154,20 +159,23 @@ def main():
 
     sweep = make_sweep(GAUSSIAN, cfg, axis_name=DATA_AXIS)
 
-    def _sweep(r, table, labels, sublabels, nms):
+    def _sweep(r, table, labels, sublabels, nms, points, valid,
+               n_total):
         return sweep(table, labels, sublabels,
                      jax.random.fold_in(jax.random.PRNGKey(6), r),
                      points, valid, n_total, jnp.asarray(False), nms)
 
     sweep_j = jax.jit(shard_map(
         _sweep, mesh=mesh,
-        in_specs=(rspec, rspec, dspec, dspec, rspec),
+        in_specs=(rspec, rspec, dspec, dspec, rspec, dspec, dspec, rspec),
         out_specs=(rspec, dspec, dspec, rspec, rspec), check_vma=False))
 
     res = {}
-    res["assign"] = timeit(lambda r: assign_j(r, table), lambda o: o[2])
+    res["assign"] = timeit(
+        lambda r: assign_j(r, table, points, valid), lambda o: o[2])
     res["stats"] = timeit(
-        lambda r: stats_j(r, state.labels, state.sublabels), lambda o: o)
+        lambda r: stats_j(r, state.labels, state.sublabels, points, valid),
+        lambda o: o)
     res["sample_params"] = timeit(lambda r: sample_j(r, table), lambda o: o)
     res["posteriors"] = timeit(lambda r: post_j(r, table), lambda o: o)
     res["log_marginal3"] = timeit(lambda r: lm3_j(r, table), lambda o: o)
@@ -176,11 +184,11 @@ def main():
         lambda o: o)
     res["sweep_nosplit"] = timeit(
         lambda r: sweep_j(r, table, state.labels, state.sublabels,
-                          jnp.asarray(True)),
+                          jnp.asarray(True), points, valid, n_total),
         lambda o: o[4]["k"])
     res["sweep_full"] = timeit(
         lambda r: sweep_j(r, table, state.labels, state.sublabels,
-                          jnp.asarray(False)),
+                          jnp.asarray(False), points, valid, n_total),
         lambda o: o[4]["k"])
 
     for k, v in res.items():

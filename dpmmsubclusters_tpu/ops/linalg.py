@@ -71,7 +71,8 @@ def _batched_tri_solve(l: jax.Array, b: jax.Array, *, trans: bool) -> jax.Array:
 
 
 def sample_wishart_precision(
-    key: jax.Array, nu: jax.Array, psi: jax.Array, mask: jax.Array
+    key: jax.Array, nu: jax.Array, psi: jax.Array, mask: jax.Array,
+    chol_psi: jax.Array = None,
 ):
     """Sample ``P ~ Wishart(nu, (nu*Psi)^-1)`` batched, via Bartlett.
 
@@ -85,6 +86,10 @@ def sample_wishart_precision(
       psi: [..., D, D] the NIW scale matrix in the reference's
            "divided-by-nu" parameterization.
       mask: [...] which batch entries are valid.
+      chol_psi: optional precomputed lower Cholesky of ``psi`` (masked):
+           ``chol(nu*psi) = sqrt(nu)*chol(psi)``, so a caller that already
+           factored psi (e.g. for a log-determinant) skips the batched
+           Cholesky here entirely.
 
     Returns:
       (prec, factors, logdet_sigma):
@@ -99,8 +104,10 @@ def sample_wishart_precision(
     nu = jnp.broadcast_to(jnp.asarray(nu, psi.dtype), batch_shape)
 
     # L L^T = nu * Psi  (scale matrix of the inverse-Wishart)
-    scale = nu[..., None, None] * psi
-    l = masked_cholesky(scale, mask)
+    if chol_psi is not None:
+        l = jnp.sqrt(nu)[..., None, None] * chol_psi
+    else:
+        l = masked_cholesky(nu[..., None, None] * psi, mask)
 
     # Bartlett: B lower-triangular, B_ii^2 ~ chi^2_{nu - i}, B_ij ~ N(0,1).
     kg, kn = jax.random.split(key)

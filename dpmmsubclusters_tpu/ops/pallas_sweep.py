@@ -208,18 +208,22 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
     oh = (labels == col).astype(jnp.float32)                     # [T, K]
 
-    pick_l = jnp.sum(oh * (ll_l + loglrw_ref[0, :][None, :]), axis=-1,
-                     keepdims=True)                              # [T, 1]
-    pick_r = jnp.sum(oh * (ll_r + loglrw_ref[1, :][None, :]), axis=-1,
-                     keepdims=True)
+    # ONE fused [T, K] chain: the side decision only needs the r-minus-l
+    # DIFFERENCE of the picked slot's sub-logits, so both one-hot
+    # contractions collapse into a single elementwise chain + reduction
+    # (the Gumbel pair is kept as the noise -- G_r - G_l is the exact
+    # logistic noise of the original two-way Gumbel-max).
+    delta = jnp.sum(
+        oh * (ll_r - ll_l + (loglrw_ref[1, :] - loglrw_ref[0, :])[None, :]),
+        axis=-1, keepdims=True,
+    )                                                            # [T, 1]
     g2 = _gumbel(seed_u32 ^ jnp.uint32(0xA5A5A5A5), (t, 2))
     # NOTE: no int<->float casts on [T, 1] values -- Mosaic fails to
     # legalize 'arith.sitofp' on lane-dim-1 vectors.  side is born f32 via
     # select; labels_f comes from the one-hot contraction against a [T, K]
     # sitofp'd iota (full-lane casts legalize fine, cf. _gumbel).
     side_f = jnp.where(
-        pick_r + g2[:, 1:2] * noise_scale + 1e-30
-        > pick_l + g2[:, 0:1] * noise_scale,
+        delta + (g2[:, 1:2] - g2[:, 0:1]) * noise_scale + 1e-30 > 0.0,
         1.0, 0.0,
     )                                                            # [T, 1] f32
     labels_f = jnp.sum(oh * col.astype(jnp.float32), axis=-1,

@@ -60,12 +60,24 @@ class Family(Protocol):
     # ---- conjugate updates ------------------------------------------------
     def calc_posterior(self, prior: Pytree, stats: Pytree) -> Pytree: ...
     def log_marginal(
-        self, prior: Pytree, posterior: Pytree, stats: Pytree, mask: jax.Array
+        self, prior: Pytree, posterior: Pytree, stats: Pytree,
+        mask: jax.Array, cache: Pytree = None,
     ) -> jax.Array: ...
+
+    # ---- shared-work caches ------------------------------------------------
+    # augment_prior: attach per-slot caches of prior-only log-marginal terms
+    # as extra pytree leaves (they ride every prior-row scatter/remap).
+    # posterior_cache: factor per-(posterior, mask) work ONCE and share it
+    # between log_marginal and sample_params (for NIW: the psi Cholesky --
+    # its sequential column loop is latency-bound on TPU, so each avoided
+    # factorization is wall time).  May return None.
+    def augment_prior(self, prior_k: Pytree) -> Pytree: ...
+    def posterior_cache(self, posterior: Pytree, mask: jax.Array) -> Pytree: ...
 
     # ---- sampling ---------------------------------------------------------
     def sample_params(
-        self, key: jax.Array, hyper: Pytree, mask: jax.Array
+        self, key: jax.Array, hyper: Pytree, mask: jax.Array,
+        cache: Pytree = None,
     ) -> Pytree: ...
 
     # ---- prediction -------------------------------------------------------

@@ -63,7 +63,16 @@ class MultinomialFamily:
         has = (stats["n"] > 0)[..., None]
         return {"alpha": jnp.where(has, prior["alpha"] + stats["sum_x"], prior["alpha"])}
 
-    def log_marginal(self, prior, posterior, stats, mask) -> jax.Array:
+    def augment_prior(self, prior_k):
+        """No expensive prior-only terms to cache (lgamma sums are cheap)."""
+        return prior_k
+
+    def posterior_cache(self, posterior, mask):
+        """No factorization to share between log_marginal and sampling."""
+        return None
+
+    def log_marginal(self, prior, posterior, stats, mask,
+                     cache=None) -> jax.Array:
         valid = mask & (stats["n"] > 0)
         a0, a1 = prior["alpha"], posterior["alpha"]
         out = (
@@ -98,7 +107,7 @@ class MultinomialFamily:
         return -jnp.log(jnp.maximum(aff, 1e-30))
 
     # ---- sampling ---------------------------------------------------------
-    def sample_params(self, key, hyper, mask):
+    def sample_params(self, key, hyper, mask, cache=None):
         """log p ~ log Dirichlet(alpha): normalized log-Gamma draws."""
         alpha = jnp.maximum(hyper["alpha"], 1e-6)
         g = jax.random.gamma(key, alpha, dtype=jnp.float32)

@@ -166,23 +166,60 @@ class GaussianFamily:
             "psi": jnp.where(hh, psi, prior["psi"]),
         }
 
-    def log_marginal(self, prior, posterior, stats, mask) -> jax.Array:
+    def augment_prior(self, prior_k):
+        """Attach per-slot caches of the prior-only log-marginal terms --
+        ``ld0`` = log|psi0| and ``lgmv0`` = log Gamma_D(nu0/2).  Prior rows
+        only ever move wholesale (split scatter, tier remap), so the caches
+        ride along as extra pytree leaves and kill one batched Cholesky +
+        one lgamma sum from EVERY log-marginal evaluation (several per
+        sweep; the Cholesky's sequential column loop is latency-bound on
+        TPU, so this is a wall-time win far beyond its FLOPs)."""
+        d = prior_k["m"].shape[-1]
+        psi = prior_k["psi"]
+        ld0 = linalg.chol_logdet(
+            linalg.masked_cholesky(psi, jnp.ones(psi.shape[:-2], bool))
+        )
+        lgmv0 = linalg.log_multivariate_gamma(prior_k["nu"] / 2.0, d)
+        return {**prior_k, "ld0": ld0, "lgmv0": lgmv0}
+
+    def posterior_cache(self, posterior, mask):
+        """Factor the posterior psi ONCE per (post, mask): the factor serves
+        both :meth:`log_marginal` (log-determinant) and
+        :meth:`sample_params` (Bartlett scale -- chol(nu*psi) =
+        sqrt(nu)*chol(psi))."""
+        chol = linalg.masked_cholesky(posterior["psi"], mask)
+        return {"chol": chol, "ld": linalg.chol_logdet(chol)}
+
+    def log_marginal(self, prior, posterior, stats, mask,
+                     cache=None) -> jax.Array:
         """Batched log marginal likelihood (reference src/priors/niw.jl:53-62).
 
         Returns 0 where ``mask`` is False or N == 0 (the reference formula
-        also evaluates to 0 when posterior == prior).
+        also evaluates to 0 when posterior == prior).  ``cache``: the
+        posterior factorization from :meth:`posterior_cache`; prior-side
+        terms come cached from :meth:`augment_prior` when present.
         """
         d = prior["m"].shape[-1]
         valid = mask & (stats["n"] > 0)
-        ld0 = linalg.chol_logdet(linalg.masked_cholesky(prior["psi"], valid))
-        ld1 = linalg.chol_logdet(
-            linalg.masked_cholesky(posterior["psi"], valid)
-        )
+        if "ld0" in prior:
+            ld0 = prior["ld0"]
+            lgmv0 = prior["lgmv0"]
+        else:
+            ld0 = linalg.chol_logdet(
+                linalg.masked_cholesky(prior["psi"], valid)
+            )
+            lgmv0 = linalg.log_multivariate_gamma(prior["nu"] / 2.0, d)
+        if cache is not None:
+            ld1 = cache["ld"]
+        else:
+            ld1 = linalg.chol_logdet(
+                linalg.masked_cholesky(posterior["psi"], valid)
+            )
         nu0, nu1 = prior["nu"], posterior["nu"]
         out = (
             -stats["n"] * d * 0.5 * LOG_PI
             + linalg.log_multivariate_gamma(nu1 / 2.0, d)
-            - linalg.log_multivariate_gamma(nu0 / 2.0, d)
+            - lgmv0
             + (nu0 / 2.0) * (d * jnp.log(nu0) + ld0)
             - (nu1 / 2.0) * (d * jnp.log(nu1) + ld1)
             + (d / 2.0) * jnp.log(prior["kappa"] / posterior["kappa"])
@@ -221,11 +258,17 @@ class GaussianFamily:
 
         pair_mask = mask[:, None] & mask[None, :] & (n_m > 0)
         ld1 = linalg.chol_logdet(linalg.masked_cholesky(psi1, pair_mask))
-        # per-slot prior terms
-        ld0 = linalg.chol_logdet(
-            linalg.masked_cholesky(prior["psi"], mask)
-        )[:, None]
-        lgmv0 = linalg.log_multivariate_gamma(prior["nu"] / 2.0, d)[:, None]
+        # per-slot prior terms (cached by augment_prior when present)
+        if "ld0" in prior:
+            ld0 = prior["ld0"][:, None]
+            lgmv0 = prior["lgmv0"][:, None]
+        else:
+            ld0 = linalg.chol_logdet(
+                linalg.masked_cholesky(prior["psi"], mask)
+            )[:, None]
+            lgmv0 = linalg.log_multivariate_gamma(
+                prior["nu"] / 2.0, d
+            )[:, None]
 
         out = (
             -n_m * d * 0.5 * LOG_PI
@@ -254,11 +297,12 @@ class GaussianFamily:
         return dist + dist.T
 
     # ---- sampling ---------------------------------------------------------
-    def sample_params(self, key, hyper, mask):
+    def sample_params(self, key, hyper, mask, cache=None):
         """Draw (mu, Sigma) from the NIW and pack natural parameters.
 
         Reference src/priors/niw.jl:34-40, re-done via Bartlett on the
-        precision.  Returns a pytree with:
+        precision.  ``cache`` (from :meth:`posterior_cache`) supplies the
+        psi Cholesky factor so it isn't re-computed here.  Returns a pytree:
           phi          [..., D^2+D+1]  natural params for the ll matmul
           mu           [..., D]
           prec         [..., D, D]     P = Sigma^-1
@@ -267,7 +311,8 @@ class GaussianFamily:
         d = hyper["m"].shape[-1]
         kp, km = jax.random.split(key)
         prec, factors, logdet_sigma = linalg.sample_wishart_precision(
-            kp, hyper["nu"], hyper["psi"], mask
+            kp, hyper["nu"], hyper["psi"], mask,
+            chol_psi=None if cache is None else cache["chol"],
         )
         mu = linalg.sample_mvn_from_precision_factors(
             km, hyper["m"], factors, hyper["kappa"]

@@ -39,8 +39,13 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
     kp, klr, kw = jax.random.split(key, 3)
     active = table["active"]
 
+    # ONE posterior-psi factorization serves both the parameter draw
+    # (Bartlett scale) and the log-marginal below (log-determinant)
+    mask3 = _mask3(table)
+    cache = family.posterior_cache(table["post"], mask3)
+
     # distributions for (whole, l, r) of every slot, one batched draw
-    params = family.sample_params(kp, table["post"], _mask3(table))
+    params = family.sample_params(kp, table["post"], mask3, cache=cache)
 
     # lr_weights ~ Dir(Nl + a/2, Nr + a/2)   (shared_actions.jl:41-52)
     n = table["stats"]["n"]  # [K, 3]
@@ -50,7 +55,8 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
     # sub-likelihood history ring buffer + splittable flag
     # (shared_actions.jl:54-63)
     prior3 = side_tile(table["prior"])
-    lm = family.log_marginal(prior3, table["post"], table["stats"], _mask3(table))
+    lm = family.log_marginal(prior3, table["post"], table["stats"], mask3,
+                             cache=cache)
     newest = lm[:, 1] + lm[:, 2]
     hist = jnp.concatenate([table["hist"][:, 1:], newest[:, None]], axis=-1)
     b = hist.shape[1]

@@ -189,11 +189,10 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
             # shared values stay valid).
             from .table import side_tile
 
+            mask3 = jnp.broadcast_to(table["active"][:, None], (k_slots, 3))
             lm3 = family.log_marginal(
                 side_tile(table["prior"]), table["post"], table["stats"],
-                jnp.broadcast_to(
-                    table["active"][:, None], (k_slots, 3)
-                ),
+                mask3, cache=family.posterior_cache(table["post"], mask3),
             )
             table, labels, sublabels, any_split, touched = moves.split_move(
                 kg1, table, labels, sublabels, alpha, final, family,

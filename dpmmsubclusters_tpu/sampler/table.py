@@ -76,6 +76,9 @@ def init_table(family, prior, outlier_prior, cfg, d: int):
             prior_k,
             out_k,
         )
+    # cache prior-only log-marginal terms (ld0/lgmv0 for NIW); the extra
+    # leaves ride every prior-row scatter/remap automatically
+    prior_k = family.augment_prior(prior_k)
 
     stats = family.empty_stats((k, 3), d)
     post = family.calc_posterior(side_tile(prior_k), stats)

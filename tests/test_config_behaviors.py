@@ -8,6 +8,7 @@ import dpmmsubclusters_tpu as dpmm
 from tests.test_fit_e2e import four_corners
 
 
+@pytest.mark.slow
 def test_hard_clustering_runs_and_recovers():
     """hard_clustering=True uses argmax assignments from iteration 1
     (reference src/local_clusters_actions.jl:112-118)."""
@@ -30,6 +31,7 @@ def test_final_iterations_are_argmax():
     assert np.array_equal(pred, res.labels)
 
 
+@pytest.mark.slow
 def test_outlier_component_attracts_outliers():
     """outlier_mod > 0 keeps a fixed-weight outlier slot with a broad prior
     (reference src/global_params.jl:27-31, init_first_clusters!)."""
@@ -52,6 +54,7 @@ def test_outlier_component_attracts_outliers():
     assert (raw[400:] == 0).mean() > 0.5
 
 
+@pytest.mark.slow
 def test_k_max_overflow_suppresses_splits():
     """When the table fills, further splits are dropped (free-slot rank
     guard) instead of corrupting state."""
@@ -61,6 +64,7 @@ def test_k_max_overflow_suppresses_splits():
     assert 1 <= res.k <= 4
 
 
+@pytest.mark.slow
 def test_multinomial_predict_and_stats():
     x, gt, _ = dpmm.generate_mnmm_data(1_500, 12, 3, 40, seed=2)
     res = dpmm.fit(x, alpha=1.0, family="multinomial", iters=50, seed=5,

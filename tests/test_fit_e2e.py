@@ -171,6 +171,7 @@ def test_params_file_mode(tmp_path):
               "--iters", "70", str(tmp_path / "params.json")])
 
 
+@pytest.mark.slow
 def test_precomputed_features_matches_quality():
     """precompute_features=True streams [N, F] feature rows instead of
     rebuilding them in-kernel; the sampler must behave identically (same

@@ -106,6 +106,7 @@ def test_retier_preserves_state(settled):
     )
 
 
+@pytest.mark.slow
 def test_retier_roundtrip_continues_sampling(settled):
     mesh, cfg, eng, st, pts, valid, n_total = settled
     mig = TierMigrator(GAUSSIAN, mesh)
