@@ -109,6 +109,66 @@ def main(which):
             x, lab,
         )
 
+    if "huge_conv" in which:
+        # BASELINE config 5 to CONVERGENCE: 10M x 64-d, 100 true clusters,
+        # enough sweeps for K to plateau near the truth.  Drives the engine
+        # directly (bench.py-style): fused 10-sweep blocks to steady state,
+        # then a fenced timed window, then 5 argmax (final) sweeps --
+        # mirroring run_model's argmax_sample_stop schedule -- and the
+        # final-label NMI.
+        import jax
+        from dpmmsubclusters_tpu.config import DPMMConfig
+        from dpmmsubclusters_tpu.parallel.mesh import make_data_mesh
+        from dpmmsubclusters_tpu.priors import GAUSSIAN
+        from dpmmsubclusters_tpu.sampler.driver import DPMMEngine
+
+        rng = np.random.default_rng(0)
+        means = rng.standard_normal((100, 64)).astype(np.float32) * 8.0
+        lab = rng.integers(0, 100, size=10_000_000)
+        x = means[lab] + rng.standard_normal(
+            (10_000_000, 64)).astype(np.float32)
+        grow = int(os.environ.get("HUGE_GROW", "170"))
+
+        cfg = DPMMConfig(k_max=256, chunk_size=16384, burnout=5, alpha=10.0,
+                         verbose=False, track_posterior=False,
+                         merge_candidates=1024)
+        engine = DPMMEngine(GAUSSIAN, cfg, make_data_mesh())
+        points, valid, n_total = engine.shard_points(x - x.mean(0))
+        state = engine.init_state(
+            jax.random.PRNGKey(1), points, valid, GAUSSIAN.default_prior(64))
+        t0 = time.perf_counter()
+        off = np.zeros(10, bool)
+        k_hist = []
+        for _ in range(grow // 10):
+            state, metrics = engine.step_block(
+                state, points, valid, n_total, off, off)
+            k_hist.append(int(jax.device_get(metrics["k"])[-1]))
+        grow_s = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        for _ in range(3):
+            state, metrics = engine.step_block(
+                state, points, valid, n_total, off, off)
+        k_now = int(jax.device_get(metrics["k"])[-1])  # fence
+        steady = (time.perf_counter() - t0) / 30
+        # final argmax sweeps (reference argmax_sample_stop)
+        state, metrics = engine.step_block(
+            state, points, valid, n_total, np.ones(5, bool),
+            np.ones(5, bool))
+        labels = np.asarray(jax.device_get(state.labels)).reshape(-1)[
+            : len(lab)]
+        print(json.dumps({
+            "config": "gaussian_10M_d64_converged",
+            "n": 10_000_000, "d": 64, "k_true": 100,
+            "sweeps_total": grow + 35,
+            "grow_s_incl_compile": round(grow_s, 1),
+            "k_history_per_block10": k_hist,
+            "steady_ms_per_sweep": round(steady * 1e3, 1),
+            "steady_pts_per_s": round(10_000_000 / steady, 0),
+            "k_final": int(jax.device_get(metrics["k"])[-1]),
+            "k_at_steady": k_now,
+            "nmi_final": round(dpmm.nmi(lab, labels), 4),
+        }), flush=True)
+
     if "huge_ckpt" in which:
         # BASELINE config 5's checkpoint/resume half at full 10M x 64 scale:
         # save mid-run, resume from the file, finish (reference

@@ -8,6 +8,11 @@ Run:  python examples/checkpoint_resume.py
 """
 import tempfile
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dpmmsubclusters_tpu as dpmm
 
 

@@ -20,9 +20,12 @@ Run:  python examples/image_segmentation.py [--real [PATH]] [--iters N]
 import argparse
 import json
 import os
+import sys
 import time
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import dpmmsubclusters_tpu as dpmm
 

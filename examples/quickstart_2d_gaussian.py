@@ -8,6 +8,11 @@ Run:  python examples/quickstart_2d_gaussian.py
 """
 import numpy as np
 
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
 import dpmmsubclusters_tpu as dpmm
 
 
