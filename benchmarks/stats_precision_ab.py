@@ -21,7 +21,13 @@ import numpy as np
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-MODES = ["highest", "split3", "split2"]
+# (stats_precision, feature_dtype) combinations.  "bf16cache" stores the
+# precomputed feature planes themselves in bf16: halves the kernel's HBM
+# stream AND collapses the stats split to ONE exact MXU pass (the planes
+# carry only bf16 information), at the cost of ~2^-9 relative rounding on
+# the cached rows (config.feature_dtype).
+MODES = [("highest", "float32"), ("split3", "float32"),
+         ("split2", "float32"), ("bf16cache", "bfloat16")]
 
 
 def log(msg):
@@ -36,9 +42,10 @@ def quality():
     means = rng.standard_normal((k_true, d)).astype(np.float32) * 8.0
     lab = rng.integers(0, k_true, size=n)
     x = means[lab] + rng.standard_normal((n, d)).astype(np.float32)
-    for prec in MODES:
+    for prec, fdt in MODES:
         res = dpmm.fit(x, alpha=10.0, iters=200, seed=1, k_max=64,
-                       verbose=False, stats_precision=prec)
+                       verbose=False, feature_dtype=fdt,
+                       stats_precision="split3" if fdt != "float32" else prec)
         row = {"mode": prec, "k": int(res.k),
                "nmi": round(dpmm.nmi(lab, res.labels), 4)}
         print(json.dumps({"gate": "quality_200k_32d", **row}), flush=True)
@@ -58,11 +65,13 @@ def speed():
     x = means[lab] + rng.standard_normal((n, d)).astype(np.float32)
 
     mesh = make_data_mesh()
-    for prec in MODES:
+    for prec, fdt in MODES:
         cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5,
                          alpha=10.0, verbose=False, track_posterior=False,
                          merge_candidates=4 * k_max,
-                         precompute_features=True, stats_precision=prec)
+                         precompute_features=True, feature_dtype=fdt,
+                         stats_precision="split3" if fdt != "float32"
+                         else prec)
         engine = DPMMEngine(GAUSSIAN, cfg, mesh)
         points, valid, n_total = engine.shard_points(x - x.mean(0))
         points = engine.featurize(points)

@@ -151,6 +151,14 @@ class DPMMModel:
     sublabels: np.ndarray       # {0,1}, [n_points]
     key: np.ndarray
     step: int = 0
+    scale: Optional[np.ndarray] = None  # per-dim standardization factors
+    # (x' = scale * (x - shift)); None = ones (pre-standardization ckpts)
+
+    @property
+    def _scale(self) -> np.ndarray:
+        if self.scale is None:
+            return np.ones_like(self.shift)
+        return self.scale
 
     # -- exports ------------------------------------------------------------
     @property
@@ -181,9 +189,10 @@ class DPMMModel:
 
     def cluster_params(self) -> list:
         """Per-cluster dict of posterior hyperparams (+ sampled params),
-        de-centered back to the original data space."""
+        mapped back to the original data space (de-standardized and
+        de-centered)."""
         out = []
-        shift = self.shift
+        shift, s = self.shift, self._scale
         for slot in self.active_slots:
             post = {
                 k: np.asarray(v)[slot, 0]
@@ -191,11 +200,13 @@ class DPMMModel:
             }
             entry = {"slot": int(slot), "posterior": post}
             if "m" in post:
-                post["m"] = post["m"] + shift
+                post["m"] = post["m"] / s + shift
+                if "psi" in post:
+                    post["psi"] = post["psi"] / (s[:, None] * s[None, :])
                 params = self.table["params"]
-                entry["mu"] = np.asarray(params["mu"])[slot, 0] + shift
+                entry["mu"] = np.asarray(params["mu"])[slot, 0] / s + shift
                 prec = np.asarray(params["prec"])[slot, 0]
-                entry["cov"] = np.linalg.inv(prec)
+                entry["cov"] = np.linalg.inv(prec) / (s[:, None] * s[None, :])
             else:
                 params = self.table["params"]
                 entry["log_p"] = np.asarray(params["log_p"])[slot, 0]
@@ -210,7 +221,7 @@ class DPMMModel:
 
         Returns (labels i32[N] dense 0-based, probs f32[N, K]).
         """
-        x = np.asarray(x, np.float32) - self.shift
+        x = (np.asarray(x, np.float32) - self.shift) * self._scale
         slots = self.active_slots
         post = jax.tree.map(
             lambda a: np.asarray(a)[slots, 0], self.table["post"]
@@ -234,14 +245,20 @@ class DPMMModel:
                 self.family, table, self.cfg.alpha, float(self.n_points)
             )
         )
-        return float(fn(self.table))
+        # constant change-of-variables term mapping the standardized-space
+        # marginals back to the data space (n * sum(log scale))
+        return float(fn(self.table)) + self.n_points * float(
+            np.log(self._scale).sum()
+        )
 
     def cluster_statistics(self, x: np.ndarray, labels: np.ndarray):
         """Average per-cluster log-likelihood and responsibility of ``x``
         under the *sampled* cluster distributions (reference
         ``cluster_statistics``, src/dp-parallel-sampling.jl:509-530 -- with
-        the correct Gaussian normalizer, see SURVEY.md L2 bug note)."""
-        x = np.asarray(x, np.float32) - self.shift
+        the correct Gaussian normalizer, see SURVEY.md L2 bug note).
+        Log-likelihoods are reported in the original data space (the
+        standardized-space values shift by the constant sum(log scale))."""
+        x = (np.asarray(x, np.float32) - self.shift) * self._scale
         slots = self.active_slots
         phi = np.asarray(self.table["params"]["phi"])[slots, 0]
         ll = np.asarray(
@@ -249,6 +266,8 @@ class DPMMModel:
                 jnp.asarray(x), jnp.asarray(phi)
             )
         )  # [N, K]
+        # density change of variables back to data space: p_data = p' * |s|
+        ll = ll + float(np.log(self._scale).sum())
         z = np.exp(ll - ll.max(axis=-1, keepdims=True))
         resp = z / z.sum(axis=-1, keepdims=True)
         labels = np.asarray(labels)
@@ -274,6 +293,7 @@ class DPMMModel:
             cfg=self.cfg,
             family_name=self.family.name,
             n_points=self.n_points,
+            scale=self.scale,
         )
 
 
@@ -344,6 +364,10 @@ def fit(
 
     fam = _resolve_family(family, prior)
     if prior is None:
+        # the weak default NIW(1, 0, D+3, I) is stated in DATA space, like
+        # the reference's (src/dp-parallel-sampling.jl:270-277), and is
+        # transformed below exactly like a user prior -- standardization is
+        # a pure numerical transform with zero model footprint
         prior = fam.default_prior(d)
     else:
         # per-key conversion: tree.map would descend into list-valued entries
@@ -354,19 +378,33 @@ def fit(
     n_dev = int(np.prod(mesh.devices.shape))
     cfg = cfg.replace(chunk_size=_effective_chunk(cfg, n, n_dev))
 
-    # auto-centering (gaussian only): keeps f32 sum_xx accurate
-    if cfg.center_data and fam.name == "gaussian":
-        shift = x.mean(axis=0)
-        x = x - shift
-        prior = fam.shift_prior(prior, -jnp.asarray(shift))
+    # auto-centering + standardization (gaussian only): centering keeps the
+    # f32 sum_xx accurate; per-dim standardization keeps the posterior
+    # scatter well-conditioned so the f32 Cholesky/logdet chain stays
+    # faithful (see DPMMConfig.standardize_data).  Both are exact model
+    # transforms -- the prior (user or default, both stated in data space)
+    # is mapped along and results mapped back.
+    shift = np.zeros(d, np.float32)
+    scale = np.ones(d, np.float32)
+    if fam.name == "gaussian":
         if outlier_prior is not None:
-            outlier_prior = fam.shift_prior(
-                {k: jnp.asarray(v, jnp.float32)
-                 for k, v in outlier_prior.items()},
-                -jnp.asarray(shift),
-            )
-    else:
-        shift = np.zeros(d, np.float32)
+            outlier_prior = {k: jnp.asarray(v, jnp.float32)
+                             for k, v in outlier_prior.items()}
+        if cfg.center_data:
+            shift = x.mean(axis=0)
+            x = x - shift
+            prior = fam.shift_prior(prior, -jnp.asarray(shift))
+            if outlier_prior is not None:
+                outlier_prior = fam.shift_prior(
+                    outlier_prior, -jnp.asarray(shift)
+                )
+        if cfg.standardize_data:
+            sd = x.std(axis=0)
+            scale = np.where(sd > 1e-12, 1.0 / sd, 1.0).astype(np.float32)
+            x = x * scale
+            prior = fam.scale_prior(prior, scale)
+            if outlier_prior is not None:
+                outlier_prior = fam.scale_prior(outlier_prior, scale)
 
     cfg = _resolve_precompute(fam, cfg, n, d, n_dev)
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
@@ -381,7 +419,7 @@ def fit(
     if cfg.enable_saving:
         def callback(it, st, _metrics):
             if (it + 1) % cfg.model_save_interval == 0:
-                _model_from_state(fam, cfg, st, shift, n).save(
+                _model_from_state(fam, cfg, st, shift, n, scale).save(
                     f"{cfg.save_path}{cfg.save_file_prefix}{it + 1}.npz"
                 )
 
@@ -391,11 +429,12 @@ def fit(
         n_valid=n, callback=callback,
         engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
-    model = _model_from_state(fam, cfg, state, shift, n)
+    model = _model_from_state(fam, cfg, state, shift, n, scale)
     return FitResult(model=model, history=hist)
 
 
-def _model_from_state(fam, cfg, state: DPMMState, shift, n: int) -> DPMMModel:
+def _model_from_state(fam, cfg, state: DPMMState, shift, n: int,
+                      scale=None) -> DPMMModel:
     table = jax.tree.map(lambda a: np.asarray(jax.device_get(a)), state.table)
     return DPMMModel(
         family=fam,
@@ -407,6 +446,7 @@ def _model_from_state(fam, cfg, state: DPMMState, shift, n: int) -> DPMMModel:
         sublabels=np.asarray(jax.device_get(state.sublabels)).reshape(-1)[:n],
         key=np.asarray(jax.device_get(state.key)),
         step=state.step,
+        scale=None if scale is None else np.asarray(scale, np.float32),
     )
 
 
@@ -458,30 +498,48 @@ def fit_distributed(
         x, mesh, cfg.chunk_size
     )
 
-    # global centering (gaussian): masked mean over every process's rows
-    if cfg.center_data and fam.name == "gaussian":
+    # global centering + standardization (gaussian): masked moments over
+    # every process's rows, one psum'd program (see fit() for why)
+    shift = np.zeros(d, np.float32)
+    scale = np.ones(d, np.float32)
+    if fam.name == "gaussian" and (cfg.center_data or cfg.standardize_data):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         sums = jax.jit(
             lambda p, v: (
                 jnp.sum(p * v.reshape(-1)[:, None], axis=0),
+                jnp.sum((p * p) * v.reshape(-1)[:, None], axis=0),
                 jnp.sum(v.astype(jnp.float32)),
             ),
             out_shardings=NamedSharding(mesh, P()),
         )(points, valid)
-        shift = np.asarray(jax.device_get(sums[0])) / max(
-            float(jax.device_get(sums[1])), 1.0
-        )
+        s1 = np.asarray(jax.device_get(sums[0]), np.float64)
+        s2 = np.asarray(jax.device_get(sums[1]), np.float64)
+        cnt = max(float(jax.device_get(sums[2])), 1.0)
+        if outlier_prior is not None:
+            outlier_prior = {k: jnp.asarray(v, jnp.float32)
+                             for k, v in outlier_prior.items()}
+        if cfg.center_data:
+            shift = (s1 / cnt).astype(np.float32)
+            prior = fam.shift_prior(prior, -jnp.asarray(shift))
+            if outlier_prior is not None:
+                outlier_prior = fam.shift_prior(
+                    outlier_prior, -jnp.asarray(shift)
+                )
+        if cfg.standardize_data:
+            var = np.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
+            sd = np.sqrt(var)
+            scale = np.where(sd > 1e-12, 1.0 / sd, 1.0).astype(np.float32)
+            prior = fam.scale_prior(prior, scale)
+            if outlier_prior is not None:
+                outlier_prior = fam.scale_prior(outlier_prior, scale)
         points = jax.jit(
-            lambda p, v: p - (
+            lambda p, v: (p - (
                 jnp.asarray(shift) * v.reshape(-1)[:, None].astype(p.dtype)
-            ),
+            )) * jnp.asarray(scale),
             out_shardings=points.sharding,
             donate_argnums=(0,),
         )(points, valid)
-        prior = fam.shift_prior(prior, -jnp.asarray(shift))
-    else:
-        shift = np.zeros(d, np.float32)
 
     if cfg.precompute_features:
         points = engine.featurize(points)
@@ -493,7 +551,8 @@ def fit_distributed(
         jnp.float32(n_global),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )
-    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local)
+    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local,
+                                          scale)
     state, hist = run_loop(
         engine, state, points, valid, n_total, cfg.iters, verbose=False,
         callback=callback, engine_fn=engine_fn, k_ceiling=k_ceiling,
@@ -511,12 +570,13 @@ def fit_distributed(
         cfg=cfg, n_points=int(n_global), labels_raw=labels_local,
         sublabels=sub_local,
         key=np.asarray(jax.device_get(state.key)), step=state.step,
+        scale=np.asarray(scale, np.float32),
     )
     return FitResult(model=model, history=hist)
 
 
 def _distributed_save_callback(fam, cfg: DPMMConfig, shift, n_global,
-                               n_local):
+                               n_local, scale=None):
     """Periodic multi-process checkpoint writer (``cfg.enable_saving``):
     process 0 writes the master table file, every process its label shard
     (reference saves from every mode, src/dp-parallel-sampling.jl:396-401)."""
@@ -531,7 +591,7 @@ def _distributed_save_callback(fam, cfg: DPMMConfig, shift, n_global,
                 table=st.table, labels=st.labels, sublabels=st.sublabels,
                 key=st.key, step=it + 1, shift=shift, cfg=cfg,
                 family_name=fam.name, n_points_global=int(n_global),
-                n_local=n_local,
+                n_local=n_local, scale=scale,
             )
 
     return callback
@@ -570,6 +630,8 @@ def run_from_checkpoint_distributed(
             f"checkpoint shard holds {shard['n_local']} rows, got {n_local}"
         )
     shift = np.asarray(ck["shift"], np.float32)
+    scale = (np.ones(d, np.float32) if ck.get("scale") is None
+             else np.asarray(ck["scale"], np.float32))
 
     mesh = dist.global_data_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
@@ -580,7 +642,7 @@ def run_from_checkpoint_distributed(
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh, k_start=k_saved)
 
     points, valid, n_global = dist.shard_points_global(
-        x - shift, mesh, cfg.chunk_size
+        (x - shift) * scale, mesh, cfg.chunk_size
     )
     if cfg.precompute_features:
         points = engine.featurize(points)
@@ -615,7 +677,8 @@ def run_from_checkpoint_distributed(
         jnp.float32(n_global),
         jax.sharding.NamedSharding(mesh, jax.sharding.PartitionSpec()),
     )
-    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local)
+    callback = _distributed_save_callback(fam, cfg, shift, n_global, n_local,
+                                          scale)
     state, hist = run_loop(
         engine, state, points, valid, n_total, cfg.iters,
         first_iter=ck["step"], verbose=False, callback=callback,
@@ -633,6 +696,7 @@ def run_from_checkpoint_distributed(
         n_points=int(n_global), labels_raw=labels_local,
         sublabels=sub_local,
         key=np.asarray(jax.device_get(state.key)), step=state.step,
+        scale=scale,
     )
     return FitResult(model=model, history=hist)
 
@@ -666,7 +730,9 @@ def run_from_checkpoint(
             f"checkpoint was trained on {ck['n_points']} points, got {n}"
         )
     shift = np.asarray(ck["shift"], np.float32)
-    x = x - shift
+    scale = (np.ones(d, np.float32) if ck.get("scale") is None
+             else np.asarray(ck["scale"], np.float32))
+    x = (x - shift) * scale
 
     if mesh is None:
         mesh = make_data_mesh(n_devices)
@@ -712,7 +778,7 @@ def run_from_checkpoint(
     if cfg.enable_saving:
         def callback(it, st, _metrics):
             if (it + 1) % cfg.model_save_interval == 0:
-                _model_from_state(fam, cfg, st, shift, n).save(
+                _model_from_state(fam, cfg, st, shift, n, scale).save(
                     f"{cfg.save_path}{cfg.save_file_prefix}{it + 1}.npz"
                 )
 
@@ -723,5 +789,5 @@ def run_from_checkpoint(
         n_valid=n, callback=callback,
         engine_fn=engine_fn, k_ceiling=k_ceiling,
     )
-    model = _model_from_state(fam, cfg, state, shift, n)
+    model = _model_from_state(fam, cfg, state, shift, n, scale)
     return FitResult(model=model, history=hist)

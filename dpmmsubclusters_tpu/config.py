@@ -33,6 +33,17 @@ class DPMMConfig:
     k_max: int = 64                 # padded cluster-table capacity
     chunk_size: int = 16384         # points per on-chip tile of the sweep
     center_data: bool = True        # subtract global mean; shifts prior mean
+    standardize_data: bool = True   # ALSO divide each dimension by its
+    # global std (gaussian only; prior m/psi are rescaled to match, results
+    # are mapped back).  The NIW model is exactly closed under diagonal
+    # scaling -- every Hastings ratio and assignment probability is
+    # invariant -- but float32 is not: with raw pixel-coordinate features
+    # (variance ~1e4 next to rgb variance ~1e-2, the reference's image-seg
+    # workload) the posterior scatter matrix has condition ~1e6 and the f32
+    # Cholesky logdet noise is amplified by nu_post ~ n into O(100)-nat
+    # errors in the split/merge decisions.  The reference dodges this by
+    # keeping m/psi/suff-stats in Float64 (src/priors/niw.jl:7-17);
+    # standardizing instead keeps the whole pipeline f32/TPU-native.
     use_pallas: Optional[bool] = None  # None = auto (TPU only)
     fused_block: int = 16           # sweeps fused per dispatch (async mode)
     merge_candidates: Optional[int] = None  # None = exact all-pairs merge
@@ -45,6 +56,14 @@ class DPMMConfig:
     # feature cache fits feature_cache_bytes and smart_splits is off
     # (smart splits need the raw points inside the sweep)
     feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
+    feature_dtype: str = "float32"  # storage dtype of the precomputed
+    # feature cache: "float32" or "bfloat16".  bf16 halves the sweep's HBM
+    # traffic (the [N, F_pad] stream is the kernel's bandwidth bottleneck)
+    # AND collapses the one-sided stats split to a single exact MXU pass
+    # (the stored planes ARE bf16, so there is no residual to split off).
+    # The cost is ~2^-9 relative rounding on the cached feature rows --
+    # including the x_i*x_j second-moment entries feeding the covariance
+    # suff stats; see benchmarks/stats_precision_ab.py for the quality A/B.
     auto_tier: Optional[bool] = None  # adaptive table capacity: run at the
     # smallest tier (16, 32, ..., k_max) with >=4x split headroom over the
     # live cluster count, migrating between compiled tiers as K changes.
@@ -61,6 +80,13 @@ class DPMMConfig:
     # operand is exact in bf16, so 3 feature planes reproduce exact-f32
     # stats (rtol 2e-6) at half the MXU passes of "highest" (6).  "split2"
     # (2 passes, rtol 3e-5) also passes every gate; "highest" = exact f32
+    reference_splittable_gate: bool = False  # reproduce the reference's
+    # biased splittable gate verbatim: its burnout window "mean" divides by
+    # (b - 0.1) instead of b (shared_actions.jl:54-63), so clusters with
+    # POSITIVE sub-marginal sums (tight, low-variance clusters whose log
+    # densities exceed 0) can never become splittable -- a reference bug
+    # that caps K below the posterior optimum on such data.  Default False
+    # = unbiased mean (see sampler/moves.py:sample_params_step).
     exact_post_move_stats: bool = False  # reference-exact chain: after
     # bad-cluster resets and accepted splits, re-randomize the affected
     # points' sub-labels and recompute realized statistics with an O(N)

@@ -32,7 +32,8 @@ def _flatten(tree: Any):
 
 
 def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
-                    shift, cfg: DPMMConfig, family_name: str, n_points: int):
+                    shift, cfg: DPMMConfig, family_name: str, n_points: int,
+                    scale=None):
     """Write the sampler state to ``path`` (.npz)."""
     tdict, _ = _flatten(table)
     payload = {f"table{_SEP}{k}": v for k, v in tdict.items()}
@@ -45,6 +46,8 @@ def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
     payload["key"] = np.asarray(jax.device_get(key))
     payload["step"] = np.asarray(step)
     payload["shift"] = np.asarray(shift)
+    if scale is not None:
+        payload["scale"] = np.asarray(scale)
     payload["n_points"] = np.asarray(n_points)
     payload["meta"] = np.frombuffer(
         json.dumps(
@@ -58,7 +61,7 @@ def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
 def save_checkpoint_distributed(path: str, *, table, labels, sublabels, key,
                                 step: int, shift, cfg: DPMMConfig,
                                 family_name: str, n_points_global: int,
-                                n_local: int):
+                                n_local: int, scale=None):
     """Multi-process checkpoint: EVERY process calls this.
 
     Process 0 writes the master file ``path`` (replicated table + key +
@@ -91,7 +94,7 @@ def save_checkpoint_distributed(path: str, *, table, labels, sublabels, key,
         save_checkpoint(
             path, table=table, labels=lab_local, sublabels=sub_local,
             key=key, step=step, shift=shift, cfg=cfg,
-            family_name=family_name, n_points=n_points_global,
+            family_name=family_name, n_points=n_points_global, scale=scale,
         )
 
 
@@ -192,6 +195,7 @@ def load_checkpoint(path: str):
             "key": z["key"],
             "step": int(z["step"]),
             "shift": z["shift"],
+            "scale": z["scale"] if "scale" in z.files else None,
             "n_points": int(z["n_points"]),
             "config": DPMMConfig(**meta["config"]),
             "family": meta["family"],

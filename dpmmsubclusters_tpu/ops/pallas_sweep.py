@@ -140,7 +140,16 @@ def _stats_dot(ohs, feat, stats_prec):
     ~16-bit mantissa, 3 passes >= f32's 24 bits.  Versus symmetric
     Precision.HIGHEST (6 bf16 passes per f32 matmul) that is a 3x (or 2x)
     cut of the dominant matmul with no statistical cost -- the suff-stat
-    sums accumulate in f32 either way (preferred_element_type)."""
+    sums accumulate in f32 either way (preferred_element_type).
+
+    A bf16 ``feat`` (config feature_dtype="bfloat16": the stored feature
+    planes ARE bf16) has no residual to split off -- one exact MXU pass,
+    whatever the requested split mode."""
+    if feat.dtype == jnp.bfloat16:
+        return jax.lax.dot_general(
+            ohs.astype(jnp.bfloat16), feat, dimension_numbers=_STATS_DIMS,
+            preferred_element_type=jnp.float32,
+        )
     if not isinstance(stats_prec, str):
         return jax.lax.dot_general(
             ohs, feat, dimension_numbers=_STATS_DIMS,
@@ -177,11 +186,13 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     t = x.shape[0]
     feat = feat_fn(x, d)              # [T, F]
 
-    if ll_prec == "bf16":
+    if ll_prec == "bf16" or feat.dtype == jnp.bfloat16:
         # explicit single-pass bf16 MXU matmul: Mosaic lowers f32-input
         # dots to multi-pass regardless of the precision flag, so cast the
         # operands (the ~1e-3 relative logit noise is far below the Gumbel
-        # sampling noise; validated by the 200k x 32-d quality gate)
+        # sampling noise; validated by the 200k x 32-d quality gate).  A
+        # bf16 feature cache always takes this path -- its planes carry
+        # only bf16 information to begin with.
         ll = jnp.dot(feat.astype(jnp.bfloat16),
                      phi_ref[:].astype(jnp.bfloat16),
                      preferred_element_type=jnp.float32)

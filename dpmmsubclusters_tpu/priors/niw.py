@@ -401,5 +401,16 @@ class GaussianFamily:
         out["m"] = prior["m"] + shift
         return out
 
+    def scale_prior(self, prior, scale):
+        """Rescale the prior for per-dimension standardized data x' = s*x
+        (config ``standardize_data``): NIW is closed under diagonal scaling
+        -- m' = s*m, psi' = diag(s) psi diag(s); kappa/nu are unchanged and
+        every Hastings ratio / assignment probability is invariant."""
+        s = jnp.asarray(scale, jnp.float32)
+        out = dict(prior)
+        out["m"] = prior["m"] * s
+        out["psi"] = prior["psi"] * (s[:, None] * s[None, :])
+        return out
+
 
 GAUSSIAN = GaussianFamily()

@@ -141,8 +141,12 @@ def assign_and_stats(
         kc = jax.random.fold_in(key, jnp.int32(chunk_offset) + i)
         k1, k2 = jax.random.split(kc)
 
-        # [C, F] -- shared by the ll matmul AND the stats reduction
+        # [C, F] -- shared by the ll matmul AND the stats reduction.  A
+        # bf16 feature cache (config feature_dtype) is upcast here: the
+        # portable path models bf16 purely as STORAGE rounding, with all
+        # arithmetic in f32 (the Pallas path keeps the operands bf16).
         feat = xc if x_is_features else family.features(xc)
+        feat = feat.astype(jnp.float32)
         ll3 = jnp.dot(
             feat, phi_mat, precision=jax.lax.Precision.HIGHEST
         ).reshape(xc.shape[0], k_slots, 3)
@@ -155,7 +159,7 @@ def assign_and_stats(
             jax.random.categorical(k1, logits, axis=-1),
         ).astype(jnp.int32)
 
-        oh = jax.nn.one_hot(labels, k_slots, dtype=xc.dtype)  # [C, K]
+        oh = jax.nn.one_hot(labels, k_slots, dtype=jnp.float32)  # [C, K]
         ll_l = jnp.sum(oh * ll3[:, :, 1], axis=-1)
         ll_r = jnp.sum(oh * ll3[:, :, 2], axis=-1)
         lw = oh @ log_lrw  # [C, 2]
@@ -163,9 +167,10 @@ def assign_and_stats(
         sub = jax.random.categorical(k2, logits2, axis=-1).astype(jnp.int32)
 
         ohs = (
-            oh[:, :, None] * jax.nn.one_hot(sub, 2, dtype=xc.dtype)[:, None, :]
+            oh[:, :, None]
+            * jax.nn.one_hot(sub, 2, dtype=jnp.float32)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
-        ohs = ohs * vc[:, None].astype(xc.dtype)
+        ohs = ohs * vc[:, None].astype(jnp.float32)
         # full-f32 MXU accumulation: default (bf16) precision suffers
         # catastrophic cancellation in cov = E[xx] - mu mu^T downstream
         acc = acc + jnp.dot(
@@ -185,7 +190,7 @@ def assign_and_stats(
 
 
 def pick_tile(chunk: int, d: int, k_slots: int, f: int,
-              built_features: bool = True) -> int:
+              built_features: bool = True, feat_bytes: int = 4) -> int:
     """Largest point-tile that divides ``chunk`` and fits the kernel's VMEM
     working set in budget.
 
@@ -200,11 +205,16 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int,
     fixed = 4 * (f * 3 * k_slots + 2 * k_slots * f)  # phi + stats acc
     feat_mult = 4.5 if built_features else 2.0
     # tiles are multiples of 128: per-point scalar streams block as
-    # [tile/128, 128] (full vector lanes, no tiling padding)
-    for tile in (512, 256, 128):
+    # [tile/128, 128] (full vector lanes, no tiling padding).  tile=1024 is
+    # only offered to bf16 caches (feat_bytes=2): at f32 the VMEM model
+    # rejects it for the flagship anyway, and keeping f32 configs on their
+    # historical tiles keeps their tile-keyed RNG streams stable.
+    tiles = (1024, 512, 256, 128) if feat_bytes < 4 else (512, 256, 128)
+    for tile in tiles:
         if chunk % tile:
             continue
-        per_row = 4 * (d + feat_mult * f + 3 * k_slots + 4 * k_slots + 2)
+        per_row = (feat_bytes * (d + feat_mult * f)
+                   + 4 * (3 * k_slots + 4 * k_slots + 2))
         if fixed + tile * per_row <= budget:
             return tile
     return 128
@@ -224,7 +234,8 @@ def _assign_and_stats_pallas(
     k_slots = phi.shape[0]
     f = x.shape[-1] if x_is_features else phi.shape[-1]
     tile = pick_tile(chunk, x.shape[-1], k_slots, f,
-                     built_features=not x_is_features)
+                     built_features=not x_is_features,
+                     feat_bytes=x.dtype.itemsize)
     phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(
         phi.shape[-1], 3 * k_slots)
     if x_is_features:
@@ -274,7 +285,8 @@ def stats_only(
             else family.feature_dim(x.shape[-1])
         )
         tile = pick_tile(chunk, x.shape[-1], k_slots, f,
-                         built_features=not x_is_features)
+                         built_features=not x_is_features,
+                         feat_bytes=x.dtype.itemsize)
         stats2k = pallas_sweep.stats_from_labels(
             x, labels, sublabels, valid,
             k_slots=k_slots,
@@ -293,12 +305,14 @@ def stats_only(
 
     def body(acc, inp):
         xc, vc, lc, sc = inp
-        oh = jax.nn.one_hot(lc, k_slots, dtype=xc.dtype)
+        oh = jax.nn.one_hot(lc, k_slots, dtype=jnp.float32)
         ohs = (
-            oh[:, :, None] * jax.nn.one_hot(sc, 2, dtype=xc.dtype)[:, None, :]
+            oh[:, :, None]
+            * jax.nn.one_hot(sc, 2, dtype=jnp.float32)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
-        ohs = ohs * vc[:, None].astype(xc.dtype)
+        ohs = ohs * vc[:, None].astype(jnp.float32)
         sfeat = xc if x_is_features else family.stat_features(xc)
+        sfeat = sfeat.astype(jnp.float32)
         return acc + jnp.dot(
             ohs.T, sfeat, precision=jax.lax.Precision.HIGHEST
         ).reshape(k_slots, 2, s), None

@@ -303,8 +303,9 @@ class DPMMEngine:
         if not hasattr(self, "_featurize"):
             from .assign import pad_features
 
+            dt = jnp.dtype(self.cfg.feature_dtype)
             self._featurize = jax.jit(
-                lambda x: pad_features(self.family.features(x)),
+                lambda x: pad_features(self.family.features(x)).astype(dt),
                 out_shardings=data_sharding(self.mesh),
             )
         return self._featurize(points)

@@ -32,7 +32,8 @@ def _mask3(table):
     )
 
 
-def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
+def sample_params_step(key, table, alpha: float, outlier_mod: float, family,
+                       reference_gate: bool = False):
     """Draw all cluster/sub-cluster distributions, lr-weights, global mixture
     weights; update the sub-likelihood history and splittable flags."""
     k = table["active"].shape[0]
@@ -53,14 +54,25 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family):
     lr_weights = sample_dirichlet(klr, lr_alpha)
 
     # sub-likelihood history ring buffer + splittable flag
-    # (shared_actions.jl:54-63)
+    # (shared_actions.jl:54-63).  DELIBERATE FIX vs the reference: it
+    # averages the window with a 1/(b - 0.1) weight, biasing "avg" by
+    # +mean/199 -- for NEGATIVE sub-marginals (the common regime) that
+    # makes every cluster instantly splittable, but for POSITIVE ones
+    # (tight low-variance clusters, log densities > 1) the bias exceeds
+    # the 1e-2 threshold permanently and the cluster can NEVER split, even
+    # with a perfectly bisected sub-state and a +2000-nat Hastings ratio
+    # (this is observable in the reference too, and is one reason its
+    # image-seg run plateaus below its own posterior optimum).  We use the
+    # unbiased mean; set DPMMConfig.reference_splittable_gate for the
+    # reference-verbatim quirk.
     prior3 = side_tile(table["prior"])
     lm = family.log_marginal(prior3, table["post"], table["stats"], mask3,
                              cache=cache)
     newest = lm[:, 1] + lm[:, 2]
     hist = jnp.concatenate([table["hist"][:, 1:], newest[:, None]], axis=-1)
     b = hist.shape[1]
-    avg = jnp.sum(hist, axis=-1) / (b - 0.1)
+    denom = (b - 0.1) if reference_gate else float(b)
+    avg = jnp.sum(hist, axis=-1) / denom
     converged = jnp.isfinite(avg) & ((avg - hist[:, -1]) < 1e-2)
     splittable = (table["splittable"] | converged) & active
     hist = jnp.where(active[:, None], hist, NEG_INF)

@@ -130,7 +130,10 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         chunk_offset = dev * (points.shape[0] // chunk)
 
         # A + B: replicated parameter draws
-        table = moves.sample_params_step(ka, table, alpha, outlier_mod, family)
+        table = moves.sample_params_step(
+            ka, table, alpha, outlier_mod, family,
+            reference_gate=bool(cfg.reference_splittable_gate),
+        )
 
         # C + D + E: fused assignment & statistics
         hard = final | jnp.asarray(cfg.hard_clustering)

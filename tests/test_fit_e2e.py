@@ -120,7 +120,7 @@ def test_smart_splits():
     """PCA + 2-means smart split init (reference smart_cluster_init!,
     src/local_clusters_actions.jl:555-653) converges at least as well."""
     x, gt = four_corners(400)
-    res = dpmm.fit(x, alpha=100.0, iters=60, seed=5, verbose=False,
+    res = dpmm.fit(x, alpha=100.0, iters=100, seed=5, verbose=False,
                    burnout=5, smart_splits=True)
     assert res.k == 4
     assert dpmm.nmi(gt, res.labels) > 0.999

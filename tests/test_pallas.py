@@ -142,3 +142,43 @@ def test_stats_from_labels_matches_jnp(rng):
     np.testing.assert_allclose(
         np.asarray(st_jnp), np.asarray(st_pal), rtol=1e-4, atol=1e-3
     )
+
+
+def test_bf16_feature_cache_hard_mode(rng):
+    """feature_dtype="bfloat16": the precomputed feature planes travel as
+    bf16 (x_is_features path).  Hard-mode labels must match the jnp path on
+    the SAME bf16 planes (the ll matmul is bf16 either way), and the
+    single-pass bf16 stats must equal an exact-f32 contraction of the
+    stored bf16 planes (the planes carry only bf16 information, so one
+    pass loses nothing)."""
+    n, d, k = 512, 4, 8
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    feat = A.pad_features(GAUSSIAN.features(x)).astype(jnp.bfloat16)
+    valid = A.block_stream(jnp.asarray(np.arange(n) < 500))
+    phi = _gaussian_phi(rng, k, d)
+    log_w = jnp.log(jnp.full((k,), 1.0 / k))
+    log_lrw = jnp.log(jnp.full((k, 2), 0.5))
+    key = jax.random.PRNGKey(5)
+    hard = jnp.asarray(True)
+    l1, _, st1 = A.assign_and_stats(
+        key, feat, valid, phi, log_w, log_lrw, hard, GAUSSIAN, 128,
+        x_is_features=True,
+    )
+    l2, s2, st2 = A.assign_and_stats(
+        key, feat, valid, phi, log_w, log_lrw, hard, GAUSSIAN, 128,
+        use_pallas=True, interpret=True, x_is_features=True,
+        ll_precision="bf16", stats_precision="split3",
+    )
+    # the jnp path models bf16 as storage-only (f32 arithmetic) while the
+    # kernel's ll matmul is true bf16 -- argmax ties near the bf16 noise
+    # floor may flip, so assert near-total agreement, not equality
+    agree = (np.asarray(l1) == np.asarray(l2)).mean()
+    assert agree >= 0.98, agree
+    # stats-only recompute agrees on the bf16 planes too
+    st_chk = A.stats_only(
+        feat, valid, l2, s2, k, GAUSSIAN, 128, use_pallas=True,
+        interpret=True, x_is_features=True,
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2), np.asarray(st_chk), rtol=2e-3, atol=1e-2
+    )
