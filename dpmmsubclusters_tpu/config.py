@@ -58,12 +58,13 @@ class DPMMConfig:
     feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
     feature_dtype: str = "float32"  # storage dtype of the precomputed
     # feature cache: "float32" or "bfloat16".  bf16 halves the sweep's HBM
-    # traffic (the [N, F_pad] stream is the kernel's bandwidth bottleneck)
-    # AND collapses the one-sided stats split to a single exact MXU pass
-    # (the stored planes ARE bf16, so there is no residual to split off).
-    # The cost is ~2^-9 relative rounding on the cached feature rows --
-    # including the x_i*x_j second-moment entries feeding the covariance
-    # suff stats; see benchmarks/stats_precision_ab.py for the quality A/B.
+    # traffic AND collapses the stats split to a single exact MXU pass --
+    # measured 1.57x (11.7 ms/sweep, 85M pts/s at the flagship) -- but the
+    # ~2^-9 per-point rounding leaves ~0.1% rms noise on each cluster
+    # covariance, which nu_post ~ n_k amplifies into O(30)-nat noise on
+    # every split/merge Hastings ratio: the chain under-splits (fails the
+    # 200k x 32-d gate; benchmarks/results/stats_precision_r3.json).  Keep
+    # the default for FITTING; bf16 is for assignment-dominated serving.
     auto_tier: Optional[bool] = None  # adaptive table capacity: run at the
     # smallest tier (16, 32, ..., k_max) with >=4x split headroom over the
     # live cluster count, migrating between compiled tiers as K changes.

@@ -304,9 +304,31 @@ class DPMMEngine:
             from .assign import pad_features
 
             dt = jnp.dtype(self.cfg.feature_dtype)
+
+            def build(x):
+                feat = pad_features(self.family.features(x))
+                if dt == jnp.bfloat16:
+                    # STOCHASTIC rounding: adding uniform 16-bit noise
+                    # below the bf16 mantissa before truncating makes each
+                    # stored plane unbiased (round-to-nearest leaves a
+                    # small correlated bias on the x_i*x_j planes).  NOTE
+                    # this fixes the bias, not the variance -- the
+                    # per-point noise still puts ~0.1% rms error on each
+                    # cluster covariance, which nu_post amplifies into
+                    # O(30)-nat Hastings noise; bf16 caches remain
+                    # serving-only (see config.feature_dtype).
+                    bits = jax.lax.bitcast_convert_type(feat, jnp.uint32)
+                    r = jax.random.bits(
+                        jax.random.PRNGKey(0x5EED), feat.shape, jnp.uint32
+                    ) & jnp.uint32(0xFFFF)
+                    rounded = jax.lax.bitcast_convert_type(
+                        (bits + r) & jnp.uint32(0xFFFF0000), jnp.float32
+                    )
+                    return rounded.astype(jnp.bfloat16)
+                return feat.astype(dt)
+
             self._featurize = jax.jit(
-                lambda x: pad_features(self.family.features(x)).astype(dt),
-                out_shardings=data_sharding(self.mesh),
+                build, out_shardings=data_sharding(self.mesh),
             )
         return self._featurize(points)
 
