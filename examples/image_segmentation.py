@@ -86,9 +86,17 @@ def run_real(path: str, iters: int, out_dir: str, seed: int = 0,
     print(f"{len(feats):,} pixels x 5 features (frame {w}x{h})")
     prior = real_prior(feats)
     t0 = time.perf_counter()
+    # track_posterior=False lets the driver fuse 16 sweeps per XLA
+    # dispatch (per-iteration metrics force one host round trip per sweep,
+    # which dominates at this small per-sweep compute); the final log
+    # posterior is computed once from the model below
+    # merge_candidates: screened merge scan -- at K~100+ the default exact
+    # all-pairs merge (k_max^2 pairwise marginals per sweep) dominates the
+    # tiny 5-D per-point work
     result = dpmm.fit(
         feats, alpha=50000.0, prior=prior, iters=iters, seed=seed,
-        verbose=False, k_max=k_max,
+        verbose=False, k_max=k_max, track_posterior=False,
+        merge_candidates=4 * k_max,
     )
     total_s = time.perf_counter() - t0
     k_hist = result.history.k
