@@ -82,6 +82,18 @@ def main(which):
         run_config("image_seg_446k_d5",
                    dict(alpha=10.0, iters=300, seed=1, k_max=64), feats, gt)
 
+    if "seg_real" in which:
+        # the reference's ACTUAL image-seg workload: its Sintel frame, its
+        # 5-D features and data-driven prior, alpha=50000, 300 iters
+        # (examples/image_seg/dpgmm-superpixels.jl).  Writes the JSON row +
+        # segmentation image to benchmarks/results/r3/.
+        sys.path.insert(0, "examples")
+        from image_segmentation import run_real, REF_FRAME
+
+        run_real(REF_FRAME, 300,
+                 os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "results", "r3"))
+
     if "flagship" in which:
         rng = np.random.default_rng(0)
         means = rng.standard_normal((64, 32)).astype(np.float32) * 8.0
