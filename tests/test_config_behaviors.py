@@ -141,3 +141,16 @@ def test_standardize_data_invariance_and_detransform(tmp_path):
                                   verbose=False)
     assert r2.k == 3
     np.testing.assert_allclose(r2.model.scale, r.model.scale, rtol=1e-6)
+
+
+def test_reference_splittable_gate_flag_runs():
+    """reference_splittable_gate=True restores the reference's biased
+    burnout-window mean (shared_actions.jl:54-63) for parity A/Bs; on
+    ordinary negative-marginal data it behaves like the default gate."""
+    from tests.test_fit_e2e import four_corners
+
+    x, gt = four_corners(400)
+    r = dpmm.fit(x, alpha=100.0, iters=60, seed=1, verbose=False,
+                 burnout=5, reference_splittable_gate=True)
+    assert r.k == 4
+    assert dpmm.nmi(gt, r.labels) > 0.999
