@@ -87,7 +87,8 @@ def main(which):
         # 5-D features and data-driven prior, alpha=50000, 300 iters
         # (examples/image_seg/dpgmm-superpixels.jl).  Writes the JSON row +
         # segmentation image to benchmarks/results/r3/.
-        sys.path.insert(0, "examples")
+        repo_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        sys.path.insert(0, os.path.join(repo_root, "examples"))
         from image_segmentation import run_real, REF_FRAME
 
         run_real(REF_FRAME, 300,

@@ -40,13 +40,15 @@ def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
     smart splits are off (they need raw points inside the sweep)."""
     pf = cfg.precompute_features
     if pf is None:
-        # the cache is stored lane-padded (assign.pad_features)
+        # the cache is stored lane-padded (assign.pad_features) at the
+        # configured storage dtype (bf16 caches are half the bytes)
         f_dim = -(-fam.feature_dim(d) // 128) * 128
         n_local = _round_up(max(n, 1), n_dev * cfg.chunk_size) // n_dev
+        itemsize = jnp.dtype(cfg.feature_dtype).itemsize
         pf = (
             fam.name == "gaussian"
             and not cfg.smart_splits
-            and n_local * f_dim * 4 <= cfg.feature_cache_bytes
+            and n_local * f_dim * itemsize <= cfg.feature_cache_bytes
         )
     elif pf and cfg.smart_splits:
         raise ValueError(
@@ -112,6 +114,47 @@ def _get_engine(fam, cfg: DPMMConfig, mesh) -> DPMMEngine:
             _ENGINE_CACHE.clear()
         _ENGINE_CACHE[key] = eng
     return eng
+
+
+_PRIOR_KEYS = {
+    "gaussian": ("kappa", "m", "nu", "psi"),
+    "multinomial": ("alpha",),
+}
+
+
+def _validate_prior(fam, prior: dict, d: int, name: str = "prior") -> dict:
+    """Check a user prior dict's keys and shapes against the family and the
+    data dimension, returning the converted float32 pytree.  A typo'd key or
+    a wrong-D array otherwise either silently becomes an extra array or
+    fails deep inside jit with an opaque shape error."""
+    want = _PRIOR_KEYS[fam.name]
+    got = set(prior)
+    if got != set(want):
+        raise ValueError(
+            f"{name} for the {fam.name} family must have exactly the keys "
+            f"{list(want)}; got {sorted(got)}"
+        )
+    out = {k: jnp.asarray(v, jnp.float32) for k, v in prior.items()}
+    shapes = (
+        {"kappa": (), "m": (d,), "nu": (), "psi": (d, d)}
+        if fam.name == "gaussian"
+        else {"alpha": (d,)}
+    )
+    for k, shape in shapes.items():
+        if out[k].shape != shape:
+            raise ValueError(
+                f"{name}[{k!r}] must have shape {shape} for D={d} data; "
+                f"got {tuple(out[k].shape)}"
+            )
+    if fam.name == "gaussian":
+        if not float(out["kappa"]) > 0:
+            raise ValueError(f"{name}['kappa'] must be > 0")
+        if not float(out["nu"]) > d - 1:
+            raise ValueError(
+                f"{name}['nu'] must be > D-1={d - 1} for a proper NIW "
+                f"prior; got {float(out['nu'])}"
+            )
+    return out
 
 
 def _resolve_family(family, prior):
@@ -370,8 +413,7 @@ def fit(
         # a pure numerical transform with zero model footprint
         prior = fam.default_prior(d)
     else:
-        # per-key conversion: tree.map would descend into list-valued entries
-        prior = {k: jnp.asarray(v, jnp.float32) for k, v in prior.items()}
+        prior = _validate_prior(fam, prior, d)
 
     if mesh is None:
         mesh = make_data_mesh(n_devices)
@@ -388,8 +430,8 @@ def fit(
     scale = np.ones(d, np.float32)
     if fam.name == "gaussian":
         if outlier_prior is not None:
-            outlier_prior = {k: jnp.asarray(v, jnp.float32)
-                             for k, v in outlier_prior.items()}
+            outlier_prior = _validate_prior(fam, outlier_prior, d,
+                                            name="outlier_prior")
         if cfg.center_data:
             shift = x.mean(axis=0)
             x = x - shift
@@ -409,9 +451,9 @@ def fit(
     cfg = _resolve_precompute(fam, cfg, n, d, n_dev)
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh)
     points, valid, n_total = engine.shard_points(x)
-    if cfg.precompute_features:
-        points = engine.featurize(points)
     seed = cfg.seed if cfg.seed is not None else np.random.randint(0, 2**31 - 1)
+    if cfg.precompute_features:
+        points = engine.featurize(points, seed=seed)
     key = jax.random.PRNGKey(seed)
     state = engine.init_state(key, points, valid, prior, outlier_prior)
 
@@ -483,6 +525,8 @@ def fit_distributed(
     fam = _resolve_family(family, prior)
     if prior is None:
         prior = fam.default_prior(d)
+    else:
+        prior = _validate_prior(fam, prior, d)
 
     mesh = dist.global_data_mesh()
     n_dev = int(np.prod(mesh.devices.shape))
@@ -505,29 +549,40 @@ def fit_distributed(
     if fam.name == "gaussian" and (cfg.center_data or cfg.standardize_data):
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        rsh = NamedSharding(mesh, P())
         sums = jax.jit(
             lambda p, v: (
                 jnp.sum(p * v.reshape(-1)[:, None], axis=0),
-                jnp.sum((p * p) * v.reshape(-1)[:, None], axis=0),
                 jnp.sum(v.astype(jnp.float32)),
             ),
-            out_shardings=NamedSharding(mesh, P()),
+            out_shardings=rsh,
         )(points, valid)
         s1 = np.asarray(jax.device_get(sums[0]), np.float64)
-        s2 = np.asarray(jax.device_get(sums[1]), np.float64)
-        cnt = max(float(jax.device_get(sums[2])), 1.0)
+        cnt = max(float(jax.device_get(sums[1])), 1.0)
+        mean = (s1 / cnt).astype(np.float32)
+        # TWO-PASS variance: psum the mean first, then psum squared
+        # deviations.  The raw-moment difference E[x^2] - E[x]^2 in f32
+        # cancels catastrophically when |mean| >> sd (large coordinate
+        # offsets -- exactly the regime standardize_data exists for) and
+        # would silently clamp to scale=1.
+        s2c = np.asarray(jax.device_get(jax.jit(
+            lambda p, v, mu: jnp.sum(
+                jnp.square(p - mu) * v.reshape(-1)[:, None], axis=0
+            ),
+            out_shardings=rsh,
+        )(points, valid, jnp.asarray(mean))), np.float64)
         if outlier_prior is not None:
-            outlier_prior = {k: jnp.asarray(v, jnp.float32)
-                             for k, v in outlier_prior.items()}
+            outlier_prior = _validate_prior(fam, outlier_prior, d,
+                                            name="outlier_prior")
         if cfg.center_data:
-            shift = (s1 / cnt).astype(np.float32)
+            shift = mean
             prior = fam.shift_prior(prior, -jnp.asarray(shift))
             if outlier_prior is not None:
                 outlier_prior = fam.shift_prior(
                     outlier_prior, -jnp.asarray(shift)
                 )
         if cfg.standardize_data:
-            var = np.maximum(s2 / cnt - (s1 / cnt) ** 2, 0.0)
+            var = np.maximum(s2c / cnt, 0.0)  # pass was valid-masked
             sd = np.sqrt(var)
             scale = np.where(sd > 1e-12, 1.0 / sd, 1.0).astype(np.float32)
             prior = fam.scale_prior(prior, scale)
@@ -541,9 +596,9 @@ def fit_distributed(
             donate_argnums=(0,),
         )(points, valid)
 
-    if cfg.precompute_features:
-        points = engine.featurize(points)
     seed = cfg.seed if cfg.seed is not None else 0
+    if cfg.precompute_features:
+        points = engine.featurize(points, seed=seed)
     state = engine.init_state(
         jax.random.PRNGKey(seed), points, valid, prior, outlier_prior
     )
@@ -645,7 +700,11 @@ def run_from_checkpoint_distributed(
         (x - shift) * scale, mesh, cfg.chunk_size
     )
     if cfg.precompute_features:
-        points = engine.featurize(points)
+        # bf16 dither key: match the original fit when it was seeded (an
+        # unseeded bf16 resume redraws the -- unbiased -- dither)
+        points = engine.featurize(
+            points, seed=cfg.seed if cfg.seed is not None else 0
+        )
     # this process's padded row count (same formula as shard_points_global)
     import math
 
@@ -746,7 +805,9 @@ def run_from_checkpoint(
     engine, engine_fn, k_ceiling = _tier_setup(fam, cfg, mesh, k_start=k_saved)
     points, valid, n_total = engine.shard_points(x)
     if cfg.precompute_features:
-        points = engine.featurize(points)
+        points = engine.featurize(
+            points, seed=cfg.seed if cfg.seed is not None else 0
+        )
     n_pad = points.shape[0]
 
     from .parallel.mesh import data_sharding, replicated

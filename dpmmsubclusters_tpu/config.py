@@ -114,6 +114,63 @@ class DPMMConfig:
     save_path: str = "./"
     save_file_prefix: str = "checkpoint_"
 
+    def __post_init__(self):
+        """Range-check the knobs users most often mistype; a bad value here
+        otherwise surfaces as an opaque shape/trace error deep inside jit
+        (cf. the reference's silent acceptance of unused params-file keys,
+        src/global_params.jl:39)."""
+        def _bad(msg):
+            raise ValueError(f"DPMMConfig: {msg}")
+
+        if not (self.alpha > 0):
+            _bad(f"alpha must be > 0, got {self.alpha}")
+        if self.iters < 1:
+            _bad(f"iters must be >= 1, got {self.iters}")
+        if self.init_clusters < 1:
+            _bad(f"init_clusters must be >= 1, got {self.init_clusters}")
+        if self.burnout < 1:
+            _bad(f"burnout must be >= 1, got {self.burnout}")
+        if self.k_max < 2:
+            _bad(f"k_max must be >= 2, got {self.k_max}")
+        if self.chunk_size < 1:
+            _bad(f"chunk_size must be >= 1, got {self.chunk_size}")
+        if not (0.0 <= self.outlier_mod < 1.0):
+            _bad(f"outlier_mod must be in [0, 1), got {self.outlier_mod}")
+        if self.max_clusters is not None and self.max_clusters < 1:
+            _bad(f"max_clusters must be >= 1, got {self.max_clusters}")
+        if self.feature_dtype not in ("float32", "bfloat16"):
+            _bad(f"feature_dtype must be 'float32' or 'bfloat16', "
+                 f"got {self.feature_dtype!r}")
+        for fld in ("ll_precision", "stats_precision"):
+            v = getattr(self, fld)
+            allowed = ("default", "high", "highest", "split2", "split3",
+                       "bf16")
+            if v not in allowed:
+                _bad(f"{fld} must be one of {allowed}, got {v!r}")
+
+    @classmethod
+    def reference_verbatim(cls, **kw) -> "DPMMConfig":
+        """Preset bundling EVERY reference-verbatim behavior flag, so
+        reference-exact A/B chains can't partially opt out (the individually
+        documented defaults deliberately diverge -- unbiased splittable-gate
+        mean, standardization, expectation post-move stats):
+
+          * ``reference_splittable_gate=True``  -- the 1/(b - 0.1) window
+            mean of shared_actions.jl:54-63, bias included;
+          * ``standardize_data=False``          -- raw-coordinate chains;
+          * ``exact_post_move_stats=True``      -- realized O(N) stats after
+            splits/resets instead of their expectation.
+
+        Keyword overrides apply on top (e.g. seed, iters).
+        """
+        base = dict(
+            reference_splittable_gate=True,
+            standardize_data=False,
+            exact_post_move_stats=True,
+        )
+        base.update(kw)
+        return cls(**base)
+
     def resolved_max_clusters(self) -> float:
         return math.inf if self.max_clusters is None else self.max_clusters
 

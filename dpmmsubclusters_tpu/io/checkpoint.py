@@ -20,6 +20,27 @@ import jax
 from ..config import DPMMConfig
 
 _SEP = "//"
+# On-disk format version.  Bump on incompatible layout changes; the decoder
+# below tolerates UNKNOWN config keys (a config field added or renamed after
+# a checkpoint was written must not make old checkpoints unloadable).
+FORMAT_VERSION = 1
+
+
+def _decode_config(cfg_dict: dict) -> DPMMConfig:
+    """Config decode with forward/backward tolerance: drop keys the current
+    DPMMConfig doesn't know (written by a newer/older version) instead of
+    exploding with a TypeError; missing keys fall back to defaults."""
+    known = {f.name for f in dataclasses.fields(DPMMConfig)}
+    unknown = sorted(set(cfg_dict) - known)
+    if unknown:
+        import warnings
+
+        warnings.warn(
+            f"checkpoint config carries unknown keys {unknown} "
+            f"(written by a different version?); ignoring them",
+            stacklevel=3,
+        )
+    return DPMMConfig(**{k: v for k, v in cfg_dict.items() if k in known})
 
 
 def _flatten(tree: Any):
@@ -51,7 +72,8 @@ def save_checkpoint(path: str, *, table, labels, sublabels, key, step: int,
     payload["n_points"] = np.asarray(n_points)
     payload["meta"] = np.frombuffer(
         json.dumps(
-            {"config": dataclasses.asdict(cfg), "family": family_name}
+            {"config": dataclasses.asdict(cfg), "family": family_name,
+             "version": FORMAT_VERSION}
         ).encode(),
         dtype=np.uint8,
     )
@@ -197,7 +219,8 @@ def load_checkpoint(path: str):
             "shift": z["shift"],
             "scale": z["scale"] if "scale" in z.files else None,
             "n_points": int(z["n_points"]),
-            "config": DPMMConfig(**meta["config"]),
+            "config": _decode_config(meta["config"]),
             "family": meta["family"],
+            "version": int(meta.get("version", 0)),
         }
     return out

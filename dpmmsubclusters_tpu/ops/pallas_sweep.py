@@ -205,6 +205,10 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     ll_r = ll[:, 2 * k_slots :]
 
     hard = hard_ref[0]
+    # hard/final mode zeroes ONLY the label Gumbel: sub-labels are ALWAYS
+    # sampled, matching the jnp path (sampler/assign.py) and the reference,
+    # whose sample_sub_clusters_worker! takes no `final`
+    # (src/local_clusters_actions.jl:64-95).
     noise_scale = jnp.where(hard > 0, 0.0, 1.0)
 
     # NOTE: everything stays >= 2-D -- Mosaic fails to legalize 1-D int
@@ -234,7 +238,7 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     # select; labels_f comes from the one-hot contraction against a [T, K]
     # sitofp'd iota (full-lane casts legalize fine, cf. _gumbel).
     side_f = jnp.where(
-        delta + (g2[:, 1:2] - g2[:, 0:1]) * noise_scale + 1e-30 > 0.0,
+        delta + (g2[:, 1:2] - g2[:, 0:1]) + 1e-30 > 0.0,
         1.0, 0.0,
     )                                                            # [T, 1] f32
     labels_f = jnp.sum(oh * col.astype(jnp.float32), axis=-1,

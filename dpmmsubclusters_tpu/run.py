@@ -22,6 +22,18 @@ Resume:   python -m dpmmsubclusters_tpu.run --resume ckpt.npz params.json
           (optionally --iters N to extend the run; counterpart of the
           reference's ``run_model_from_checkpoint``,
           src/dp-parallel-sampling.jl:428-447)
+
+Multi-host (one launch per host; counterpart of the reference's
+multi-machine advanced mode, src/dp-parallel-sampling.jl:317-334 +
+user-level ``addprocs``):
+
+    python -m dpmmsubclusters_tpu.run --distributed params.json \
+        [--coordinator HOST:PORT --num-processes N --process-id I]
+
+On TPU pods the three coordinator flags are discovered from the
+environment.  ``data_path`` may contain ``{proc}`` for per-process files;
+otherwise every process loads the full file and takes its contiguous
+row slice.  ``--resume`` composes with ``--distributed``.
 """
 from __future__ import annotations
 
@@ -30,7 +42,8 @@ import json
 
 import numpy as np
 
-from .api import FitResult, fit, run_from_checkpoint
+from .api import (FitResult, fit, fit_distributed, run_from_checkpoint,
+                  run_from_checkpoint_distributed)
 from .io.npy import load_data
 
 
@@ -81,6 +94,54 @@ def resume_from_params(ckpt: str, path: str, iters=None) -> FitResult:
     return run_from_checkpoint(ckpt, data, iters=iters, gt=gt)
 
 
+def _load_local_rows(params: dict) -> np.ndarray:
+    """This process's data rows for distributed mode: a per-process file
+    when ``data_path`` contains ``{proc}``, else a contiguous slice of the
+    shared file by process index."""
+    import jax
+
+    path = params.pop("data_path")
+    swap = bool(params.pop("data_transposed", False))
+    if "{proc}" in path:
+        return load_data(path.format(proc=jax.process_index()), swapdims=swap)
+    x = load_data(path, swapdims=swap)
+    n, p, i = len(x), jax.process_count(), jax.process_index()
+    lo = (n * i) // p
+    hi = (n * (i + 1)) // p
+    return x[lo:hi]
+
+
+def fit_from_params_distributed(path: str) -> FitResult:
+    """Multi-host params-file mode: call after ``initialize()``; drives
+    ``fit_distributed`` from the same JSON schema as single-host mode."""
+    with open(path) as f:
+        params = json.load(f)
+    x_local = _load_local_rows(params)
+    params.pop("gt_path", None)  # labels are per-process; NMI is offline
+    prior = params.pop("prior", None)
+    if prior is not None:
+        prior = {k: np.asarray(v, np.float32) for k, v in prior.items()}
+    outlier_prior = params.pop("outlier_prior", None)
+    if outlier_prior is not None:
+        outlier_prior = {
+            k: np.asarray(v, np.float32) for k, v in outlier_prior.items()
+        }
+    family = params.pop("family", None)
+    alpha = params.pop("alpha", 10.0)
+    return fit_distributed(
+        x_local, alpha=alpha, prior=prior, family=family,
+        outlier_prior=outlier_prior, **params,
+    )
+
+
+def resume_from_params_distributed(ckpt: str, path: str,
+                                   iters=None) -> FitResult:
+    with open(path) as f:
+        params = json.load(f)
+    x_local = _load_local_rows(params)
+    return run_from_checkpoint_distributed(ckpt, x_local, iters=iters)
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         prog="python -m dpmmsubclusters_tpu.run", description=__doc__,
@@ -91,8 +152,29 @@ def main(argv=None):
                     help="checkpoint .npz to resume from")
     ap.add_argument("--iters", type=int, default=None,
                     help="with --resume: total iterations to run to")
+    ap.add_argument("--distributed", action="store_true",
+                    help="multi-host mode: initialize jax.distributed and "
+                         "run fit_distributed (launch once per host)")
+    ap.add_argument("--coordinator", default=None,
+                    help="coordinator HOST:PORT (TPU pods: from env)")
+    ap.add_argument("--num-processes", type=int, default=None)
+    ap.add_argument("--process-id", type=int, default=None)
     args = ap.parse_args(argv)
-    if args.resume:
+    if args.distributed:
+        from .parallel.distributed import initialize
+
+        initialize(
+            coordinator_address=args.coordinator,
+            num_processes=args.num_processes,
+            process_id=args.process_id,
+        )
+        if args.resume:
+            result = resume_from_params_distributed(
+                args.resume, args.params, args.iters
+            )
+        else:
+            result = fit_from_params_distributed(args.params)
+    elif args.resume:
         result = resume_from_params(args.resume, args.params, args.iters)
     else:
         result = fit_from_params(args.params)

@@ -294,18 +294,23 @@ class DPMMEngine:
         unit = self.n_dev * math.lcm(self.cfg.chunk_size, 128)
         return _round_up(max(n, 1), unit)
 
-    def featurize(self, points):
+    def featurize(self, points, seed: int = 0):
         """Build the per-point feature rows ONCE (config
         ``precompute_features``); the sweep then streams [N, F_pad] instead
         of rebuilding features per sweep inside the kernel.  The rows are
         zero-padded to a multiple of 128 lanes: unaligned streams halve the
-        Pallas input-DMA bandwidth (assign.pad_features)."""
+        Pallas input-DMA bandwidth (assign.pad_features).
+
+        ``seed``: folded into the bf16 stochastic-rounding key so repeated
+        fits on same-shaped data don't share a correlated dither pattern
+        (the noise is a pure function of (seed, global row), so it stays
+        identical across process counts for a given fit)."""
         if not hasattr(self, "_featurize"):
             from .assign import pad_features
 
             dt = jnp.dtype(self.cfg.feature_dtype)
 
-            def build(x):
+            def build(x, seed):
                 feat = pad_features(self.family.features(x))
                 if dt == jnp.bfloat16:
                     # STOCHASTIC rounding: adding uniform 16-bit noise
@@ -317,9 +322,12 @@ class DPMMEngine:
                     # cluster covariance, which nu_post amplifies into
                     # O(30)-nat Hastings noise; bf16 caches remain
                     # serving-only (see config.feature_dtype).
+                    key = jax.random.fold_in(
+                        jax.random.PRNGKey(0x5EED), seed
+                    )
                     bits = jax.lax.bitcast_convert_type(feat, jnp.uint32)
                     r = jax.random.bits(
-                        jax.random.PRNGKey(0x5EED), feat.shape, jnp.uint32
+                        key, feat.shape, jnp.uint32
                     ) & jnp.uint32(0xFFFF)
                     rounded = jax.lax.bitcast_convert_type(
                         (bits + r) & jnp.uint32(0xFFFF0000), jnp.float32
@@ -330,7 +338,7 @@ class DPMMEngine:
             self._featurize = jax.jit(
                 build, out_shardings=data_sharding(self.mesh),
             )
-        return self._featurize(points)
+        return self._featurize(points, jnp.int32(seed))
 
     def shard_points(self, x: np.ndarray):
         """Pad [N, D] host points and place them sharded over the mesh.

@@ -101,6 +101,61 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family,
     }
 
 
+def split_log_hastings(alpha, n, lm):
+    """Split-move log Hastings ratio, term-for-term the reference's
+    ``should_split_local!`` (src/local_clusters_actions.jl:318-343):
+
+      log_HR = log a + lgamma(Nl) + L_l + lgamma(Nr) + L_r
+               - (lgamma(N) + L)
+
+    ``n``: [K, 3] counts (whole, l, r); ``lm``: [K, 3] log marginals of the
+    current (prior, post, stats).  Exposed as a pure function so the golden
+    numeric vectors in tests/test_golden_mh.py pin the exact values the
+    sampler uses (the padding/masking re-design makes this the one spot a
+    silent bias could hide)."""
+    safe = jnp.maximum(n, 1e-30)
+    return (
+        jnp.log(alpha)
+        + gammaln(safe[:, 1])
+        + lm[:, 1]
+        + gammaln(safe[:, 2])
+        + lm[:, 2]
+        - gammaln(safe[:, 0])
+        - lm[:, 0]
+    )
+
+
+def merge_log_hastings(alpha, ni, nj, lm_i, lm_j, lm_m):
+    """Merge-move log Hastings ratio, term-for-term the reference's
+    ``should_merge!`` (src/shared_actions.jl:21-38):
+
+      log_HR = -log a + lgamma(a) - 2 lgamma(a/2)
+               + lgamma(Nm) - lgamma(Nm + a)
+               + lgamma(Ni + a/2) - lgamma(Ni)
+               + lgamma(Nj + a/2) - lgamma(Nj)
+               + L_merged - L_i - L_j
+
+    Operands may be any broadcastable batch shape ([K, K] pairwise or [M]
+    candidate lists)."""
+    ni = jnp.maximum(ni, 1e-30)
+    nj = jnp.maximum(nj, 1e-30)
+    nm = jnp.maximum(ni + nj, 1e-30)
+    return (
+        -jnp.log(alpha)
+        + gammaln(alpha)
+        - 2.0 * gammaln(alpha / 2.0)
+        + gammaln(nm)
+        - gammaln(nm + alpha)
+        + gammaln(ni + alpha / 2.0)
+        - gammaln(ni)
+        + gammaln(nj + alpha / 2.0)
+        - gammaln(nj)
+        + lm_m
+        - lm_i
+        - lm_j
+    )
+
+
 def reset_bad(table, family):
     """Clusters with an empty sub-cluster get their history reset and their
     sub-cluster state re-randomized (local_clusters_actions.jl:481-516).
@@ -181,16 +236,7 @@ def split_move(key, table, labels, sublabels, alpha: float, final,
         & (n[:, 2] > 0)
         & ~final
     )
-    safe = jnp.maximum(n, 1e-30)
-    log_hr = (
-        jnp.log(alpha)
-        + gammaln(safe[:, 1])
-        + lm[:, 1]
-        + gammaln(safe[:, 2])
-        + lm[:, 2]
-        - gammaln(safe[:, 0])
-        - lm[:, 0]
-    )
+    log_hr = split_log_hastings(alpha, n, lm)
     u = jax.random.uniform(ku, (k,), minval=1e-37)
     accept = eligible & (log_hr > jnp.log(u))
 
@@ -316,22 +362,12 @@ def merge_move(key, table, labels, sublabels, alpha: float, final, family,
 def _merge_pairs_full(ku, table, family, eligible, lm_w, n_w, alpha, final):
     """Exact log_HR for every (i, j) pair -> accepted-pair mask [K, K]."""
     k = eligible.shape[0]
-    safe_n = jnp.maximum(n_w, 1e-30)
     stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
     # O(K^2) merged marginals with per-slot prior terms hoisted out
     lm_m = family.log_marginal_pairwise(table["prior"], stats_w, eligible)
-    nm = jnp.maximum(n_w[:, None] + n_w[None, :], 1e-30)
-    log_hr = (
-        -jnp.log(alpha)
-        + gammaln(alpha)
-        - 2.0 * gammaln(alpha / 2.0)
-        + gammaln(nm)
-        - gammaln(nm + alpha)
-        + (gammaln(safe_n + alpha / 2.0) - gammaln(safe_n))[:, None]
-        + (gammaln(safe_n + alpha / 2.0) - gammaln(safe_n))[None, :]
-        + lm_m
-        - lm_w[:, None]
-        - lm_w[None, :]
+    log_hr = merge_log_hastings(
+        alpha, n_w[:, None], n_w[None, :], lm_w[:, None], lm_w[None, :],
+        lm_m,
     )  # [K, K]
 
     u = jax.random.uniform(ku, (k, k), minval=1e-37)
@@ -369,22 +405,8 @@ def _merge_pairs_screened(ku, table, family, eligible, lm_w, n_w, alpha,
     post_m = family.calc_posterior(prior_i, merged)
     lm_m = family.log_marginal(prior_i, post_m, merged, valid_m)
 
-    ni = jnp.maximum(n_w[ii], 1e-30)
-    nj = jnp.maximum(n_w[jj], 1e-30)
-    nm = jnp.maximum(ni + nj, 1e-30)
-    log_hr = (
-        -jnp.log(alpha)
-        + gammaln(alpha)
-        - 2.0 * gammaln(alpha / 2.0)
-        + gammaln(nm)
-        - gammaln(nm + alpha)
-        + gammaln(ni + alpha / 2.0)
-        - gammaln(ni)
-        + gammaln(nj + alpha / 2.0)
-        - gammaln(nj)
-        + lm_m
-        - lm_w[ii]
-        - lm_w[jj]
+    log_hr = merge_log_hastings(
+        alpha, n_w[ii], n_w[jj], lm_w[ii], lm_w[jj], lm_m
     )                                                             # [M]
     u = jax.random.uniform(ku, (m_cand,), minval=1e-37)
     acc = valid_m & (

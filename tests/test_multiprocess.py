@@ -148,6 +148,61 @@ print(f"proc 0: OK resharded K={res.k}")
 """
 
 
+_CLI_WORKER = r"""
+import sys
+proc = int(sys.argv[1])
+import jax
+# the CLI discovers everything from flags; platform config must happen
+# before any backend use (the test harness pins JAX_PLATFORMS elsewhere)
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_num_cpu_devices", 2)
+jax.config.update("jax_cpu_collectives_implementation", "gloo")
+from dpmmsubclusters_tpu.run import main
+
+main([
+    "--distributed",
+    "--coordinator", "localhost:12995",
+    "--num-processes", "2",
+    "--process-id", str(proc),
+    "PARAMS",
+])
+print(f"proc {proc}: OK cli")
+"""
+
+
+@pytest.mark.slow
+def test_distributed_cli(tmp_path):
+    """End-to-end ``python -m dpmmsubclusters_tpu.run --distributed``: the
+    JSON params file + npy data path drive fit_distributed over 2 real
+    processes (the reference's multi-machine advanced mode,
+    src/dp-parallel-sampling.jl:317-334)."""
+    import json
+
+    import numpy as np
+
+    n = 1000
+    x = np.zeros((n, 2), np.float32)
+    for i, c in enumerate([[10, 10], [-10, 10], [10, -10], [-10, -10]]):
+        x[i * 250: (i + 1) * 250] = c
+    # per-process files via the {proc} template
+    np.save(tmp_path / "rows0.npy", x[0::2])
+    np.save(tmp_path / "rows1.npy", x[1::2])
+    params = {
+        "data_path": str(tmp_path / "rows{proc}.npy"),
+        "alpha": 100.0,
+        "iters": 60,
+        "seed": 6,
+        "burnout": 5,
+        "verbose": False,
+    }
+    ppath = tmp_path / "params.json"
+    ppath.write_text(json.dumps(params))
+    script = tmp_path / "cli_worker.py"
+    script.write_text(_CLI_WORKER.replace("PARAMS", str(ppath)))
+    outs = _run_workers(script)
+    assert any("K = 4" in o for o in outs), outs[0][-500:]
+
+
 @pytest.mark.slow
 def test_two_process_save_kill_resume(tmp_path):
     """fit_distributed saves mid-run; fresh processes resume from the

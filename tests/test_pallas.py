@@ -72,6 +72,29 @@ def test_sampling_is_calibrated():
     np.testing.assert_allclose(side, [0.5, 0.5], atol=0.03)
 
 
+def test_hard_mode_sublabels_stay_stochastic():
+    """hard/final mode zeroes ONLY the label Gumbel.  Sub-labels are ALWAYS
+    sampled -- the reference's sample_sub_clusters_worker! takes no `final`
+    (src/local_clusters_actions.jl:64-95) -- so with equal l/r sub-logits
+    both paths must yield ~50/50 sides under hard=True (an argmax would
+    collapse to one side)."""
+    n, d, k = 4096, 4, 8
+    x = jnp.zeros((n, d), jnp.float32)
+    valid = A.block_stream(jnp.ones((n,), bool))
+    phi1 = np.zeros(1 + d + d * (d + 1) // 2, np.float32)
+    phi = jnp.asarray(np.tile(phi1, (k, 3, 1)))
+    log_w = jnp.log(jnp.full((k,), 1.0 / k))
+    log_lrw = jnp.log(jnp.full((k, 2), 0.5))
+    hard = jnp.asarray(True)
+    for kwargs in ({}, {"use_pallas": True, "interpret": True}):
+        _, sub, _ = A.assign_and_stats(
+            jax.random.PRNGKey(11), x, valid, phi, log_w, log_lrw, hard,
+            GAUSSIAN, 512, **kwargs,
+        )
+        side = np.bincount(np.asarray(sub).reshape(-1), minlength=2) / n
+        np.testing.assert_allclose(side, [0.5, 0.5], atol=0.03)
+
+
 def test_multinomial_kernel(rng):
     n, d, k = 256, 6, 4
     x = jnp.asarray(
