@@ -75,21 +75,29 @@ def main():
     log("init done")
 
     # warmup uses the SAME block length as the timed run -- a different
-    # length would recompile the scan and pollute the timing
+    # length would recompile the scan and pollute the timing.  The
+    # block-boundary smart pass mirrors run_loop's product behavior and is
+    # INCLUDED in the timed window (steady-state blocks pay it too).
     off = np.zeros(timed, bool)
     for _ in range(max(1, warmup // timed)):
         state, metrics = engine.step_block(
             state, points, valid, n_total, off, off
         )
+        state = engine.smart_refresh(state, points, valid)
     k_active = int(metrics["k"][-1])
     log(f"warmup blocks done (compile + settle): K={k_active}")
 
-    blocks = 3
+    # timed window = the steady-state duty cycle run_loop settles into once
+    # K is stable: 8 fused blocks + ONE smart refresh (adaptive cadence,
+    # sampler/driver.run_loop), fenced once at the end
+    blocks = 8
     t0 = time.perf_counter()
-    for _ in range(blocks):
+    for i in range(blocks):
         state, metrics = engine.step_block(
             state, points, valid, n_total, off, off
         )
+        if i == blocks - 1:
+            state = engine.smart_refresh(state, points, valid)
     k_final = int(metrics["k"][-1])  # sync once, after all blocks
     dt = time.perf_counter() - t0
 

@@ -38,11 +38,10 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((n, f)).astype(np.float32))
     valid = A.block_stream(jnp.ones((n,), bool))
-    phi = jnp.asarray(rng.standard_normal((f, 3 * k)).astype(np.float32))
+    phi = jnp.asarray(rng.standard_normal((f, 2 * k)).astype(np.float32))
     logw = jnp.zeros((k,), jnp.float32)
-    loglrw = jnp.zeros((2, k), jnp.float32)
 
-    ll_flops = 2.0 * n * f * 3 * k          # one bf16 pass
+    ll_flops = 2.0 * n * f * 2 * k          # one bf16 pass
     st_flops = 2.0 * n * f * 2 * k          # per pass
     bytes_moved = n * f * 4 + 2 * n * 4     # features read + label streams
 
@@ -54,7 +53,7 @@ def main():
             try:
                 def fn(seed):
                     return ps.fused_assign(
-                        seed, x, valid, phi, logw, loglrw, jnp.int32(0),
+                        seed, x, valid, phi, logw, jnp.int32(0),
                         k_slots=k, family_name="precomputed", tile=tile,
                         ll_precision=ll, stats_precision=prec,
                     )

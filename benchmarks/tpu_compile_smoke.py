@@ -47,18 +47,17 @@ def main():
             n = 4 * tile
             x = jnp.zeros((n, d), jnp.float32)
             valid = jnp.ones((n // 128, 128), bool)  # lane-blocked streams
-            phi = jnp.zeros((f, 3 * k_slots), jnp.float32)
+            phi = jnp.zeros((f, 2 * k_slots), jnp.float32)
             logw = jnp.zeros((k_slots,), jnp.float32)
-            loglrw = jnp.zeros((2, k_slots), jnp.float32)
             labels = jnp.zeros((n // 128, 128), jnp.int32)
             sub = jnp.zeros((n // 128, 128), jnp.int32)
 
             for name, thunk in (
                 ("fused_assign", lambda: compile_only(
-                    lambda x, v, p, lw, lrw: ps.fused_assign(
-                        jnp.int32(0), x, v, p, lw, lrw, jnp.int32(0),
+                    lambda x, v, p, lw: ps.fused_assign(
+                        jnp.int32(0), x, v, p, lw, jnp.int32(0),
                         k_slots=k_slots, family_name=family, tile=tile),
-                    x, valid, phi, logw, loglrw)),
+                    x, valid, phi, logw)),
                 ("stats_from_labels", lambda: compile_only(
                     lambda x, l, s, v: ps.stats_from_labels(
                         x, l, s, v, k_slots=k_slots, family_name=family,

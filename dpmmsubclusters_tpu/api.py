@@ -36,8 +36,9 @@ _FAMILIES = {"gaussian": GAUSSIAN, "multinomial": MULTINOMIAL}
 def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
                         n_dev: int) -> DPMMConfig:
     """Resolve ``precompute_features`` (None = auto): on for Gaussian data
-    when the per-device [N_local, F] feature cache fits the budget and
-    smart splits are off (they need raw points inside the sweep)."""
+    when the per-device [N_local, F] feature cache fits the budget.  Smart
+    splits compose with the cache -- the raw points are recovered from the
+    cache's columns 1..D (feature rows are [1, x, ...])."""
     pf = cfg.precompute_features
     if pf is None:
         # the cache is stored lane-padded (assign.pad_features) at the
@@ -47,13 +48,7 @@ def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
         itemsize = jnp.dtype(cfg.feature_dtype).itemsize
         pf = (
             fam.name == "gaussian"
-            and not cfg.smart_splits
             and n_local * f_dim * itemsize <= cfg.feature_cache_bytes
-        )
-    elif pf and cfg.smart_splits:
-        raise ValueError(
-            "precompute_features=True is incompatible with smart_splits "
-            "(smart splits read the raw points inside the sweep)"
         )
     return cfg.replace(precompute_features=bool(pf))
 

@@ -170,9 +170,21 @@ def _stats_dot(ohs, feat, stats_prec):
     return acc
 
 
-def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
+def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref,
             valid_ref, labels_ref, sub_ref, stats_ref, *, k_slots: int,
             feat_fn, d: int, ll_prec, stats_prec):
+    """phi_ref carries [F, 2K] columns [whole K | DELTA K], where
+    delta = phi_r - phi_l with log(lrw_r/lrw_l) folded into the constant
+    feature's row (see assign._delta_phi).  The sub-label decision only
+    needs the r-minus-l difference of the picked slot's sub-logits, so the
+    3K-column matmul and the per-point [T, K] sub-logit chain of the round-3
+    kernel collapse into K extra matmul columns + one one-hot contraction
+    (measured: -2.7 ms/sweep at the flagship).
+
+    stats_ref rows are [WHOLE K | RIGHT K]; the caller reconstructs
+    left = whole - right (exact to accumulation order).  Splitting the old
+    [T, 2K] one-hot concat into two [T, K] dots drops one [T, K] multiply
+    and the concat materialization (-~1 ms/sweep)."""
     i = pl.program_id(0)
     # per-tile seed: mix the host seed with the GLOBAL tile index
     # (tile_off = this shard's first tile; makes the per-point RNG stream a
@@ -199,10 +211,9 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     else:
         ll = jnp.dot(feat, phi_ref[:], preferred_element_type=jnp.float32,
                      precision=ll_prec)
-    # columns: [whole K | left K | right K]
+    # columns: [whole K | delta K]
     ll_w = ll[:, :k_slots]
-    ll_l = ll[:, k_slots : 2 * k_slots]
-    ll_r = ll[:, 2 * k_slots :]
+    ll_d = ll[:, k_slots:]
 
     hard = hard_ref[0]
     # hard/final mode zeroes ONLY the label Gumbel: sub-labels are ALWAYS
@@ -223,15 +234,9 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     col = jax.lax.broadcasted_iota(jnp.int32, (t, k_slots), 1)
     oh = (labels == col).astype(jnp.float32)                     # [T, K]
 
-    # ONE fused [T, K] chain: the side decision only needs the r-minus-l
-    # DIFFERENCE of the picked slot's sub-logits, so both one-hot
-    # contractions collapse into a single elementwise chain + reduction
-    # (the Gumbel pair is kept as the noise -- G_r - G_l is the exact
-    # logistic noise of the original two-way Gumbel-max).
-    delta = jnp.sum(
-        oh * (ll_r - ll_l + (loglrw_ref[1, :] - loglrw_ref[0, :])[None, :]),
-        axis=-1, keepdims=True,
-    )                                                            # [T, 1]
+    # sub-label: sign(delta + G_r - G_l) -- the Gumbel pair difference is
+    # the exact logistic noise of the original two-way Gumbel-max
+    delta = jnp.sum(oh * ll_d, axis=-1, keepdims=True)           # [T, 1]
     g2 = _gumbel(seed_u32 ^ jnp.uint32(0xA5A5A5A5), (t, 2))
     # NOTE: no int<->float casts on [T, 1] values -- Mosaic fails to
     # legalize 'arith.sitofp' on lane-dim-1 vectors.  side is born f32 via
@@ -248,19 +253,20 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref, loglrw_ref,
     _stream_write(sub_ref, side_f)
 
     v = _stream_read(valid_ref, t)                               # [T, 1] f32
-    s_f = side_f
-    wl = oh * ((1.0 - s_f) * v)                                  # [T, K]
-    wr = oh * (s_f * v)
-    ohs = jnp.concatenate([wl, wr], axis=1)                      # [T, 2K]
-    contrib = _stats_dot(ohs, feat, stats_prec)                  # [2K, F]
+    ohv = oh * v                                                 # [T, K]
+    ohr = ohv * side_f                                           # [T, K]
+    contrib_w = _stats_dot(ohv, feat, stats_prec)                # [K, F]
+    contrib_r = _stats_dot(ohr, feat, stats_prec)                # [K, F]
 
     @pl.when(i == 0)
     def _():
-        stats_ref[:] = contrib
+        stats_ref[0:k_slots, :] = contrib_w
+        stats_ref[k_slots:, :] = contrib_r
 
     @pl.when(i > 0)
     def _():
-        stats_ref[:] = stats_ref[:] + contrib
+        stats_ref[0:k_slots, :] = stats_ref[0:k_slots, :] + contrib_w
+        stats_ref[k_slots:, :] = stats_ref[k_slots:, :] + contrib_r
 
 
 def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
@@ -380,7 +386,7 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     static_argnames=("k_slots", "family_name", "tile", "interpret",
                      "ll_precision", "stats_precision"),
 )
-def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
+def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
                  k_slots: int, family_name: str, tile: int = 512,
                  interpret: bool = False, ll_precision: str = "highest",
                  stats_precision: str = "highest", tile_off=0):
@@ -394,17 +400,18 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
       x:       [N, D] f32, N % tile == 0.
       valid:   bool lane-blocked [N/128, 128] (see stats_from_labels on why
                per-point streams never travel as 1-D [N] arrays).
-      phi_mat: [F, 3K] natural params, columns [whole | left | right].
+      phi_mat: [F, 2K] natural params, columns [whole K | delta K] with
+               delta = phi_r - phi_l and log(lrw_r/lrw_l) folded into the
+               constant feature's row (assign._delta_phi).
       log_w:   [K] mixture log-weights (-inf inactive).
-      log_lrw: [2, K] sub-cluster log-weights rows [left, right].
-      hard:    i32 scalar; >0 = argmax labels.
+      hard:    i32 scalar; >0 = argmax labels (sub-labels always sampled).
 
     Returns (labels i32[N/128, 128], sublabels i32[N/128, 128],
-    stats f32[2K, F] with rows [left K | right K]).
+    stats f32[2K, F] with rows [WHOLE K | RIGHT K] -- left = whole - right).
     """
     n, d = x.shape
-    f, threek = phi_mat.shape
-    assert threek == 3 * k_slots
+    f, twok = phi_mat.shape
+    assert twok == 2 * k_slots
     assert n % tile == 0, (n, tile)
     assert valid.ndim == 2 and valid.shape[1] == LANES, valid.shape
     grid = n // tile
@@ -423,12 +430,10 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
             pl.BlockSpec(memory_space=pltpu.SMEM),             # hard
             pl.BlockSpec((tile, d), lambda i: (i, 0),
                          memory_space=pltpu.VMEM),             # x
-            pl.BlockSpec((f, threek), lambda i: (0, 0),
+            pl.BlockSpec((f, twok), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # phi
             pl.BlockSpec((1, k_slots), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # log_w
-            pl.BlockSpec((2, k_slots), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),             # log_lrw
             pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # valid
         ],
@@ -455,7 +460,6 @@ def fused_assign(seed, x, valid, phi_mat, log_w, log_lrw, hard, *,
         x,
         phi_mat,
         log_w.reshape(1, -1),
-        log_lrw,
         valid.astype(jnp.float32).reshape(grid, tile // LANES, LANES),
     )
     # converts stay on lane-blocked 2-D shapes (layout-preserving)

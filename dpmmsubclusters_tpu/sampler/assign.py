@@ -220,6 +220,20 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int,
     return 128
 
 
+def _delta_phi(phi, log_lrw):
+    """[K, 3, F] natural params -> [F, 2K] kernel columns
+    [whole K | delta K]: delta = phi_r - phi_l with the sub-cluster
+    log-weight ratio log(lrw_r/lrw_l) folded into the CONSTANT feature's
+    row (every family's feature row 0 is the literal 1), so the kernel's
+    sub-label decision is one one-hot contraction of the delta columns --
+    no separate l/r columns, no per-point lr-weight adds."""
+    k_slots, _, f = phi.shape
+    whole = phi[:, 0]                         # [K, F]
+    delta = phi[:, 2] - phi[:, 1]             # [K, F]
+    delta = delta.at[:, 0].add(log_lrw[:, 1] - log_lrw[:, 0])
+    return jnp.concatenate([whole, delta], axis=0).T  # [F, 2K]
+
+
 def _assign_and_stats_pallas(
     key, x, valid, phi, log_w, log_lrw, hard, family, chunk: int,
     interpret: bool, ll_precision: str = "highest",
@@ -227,8 +241,9 @@ def _assign_and_stats_pallas(
     chunk_offset=0,
 ):
     """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
-    layouts: phi [K, 3, F] -> [F, 3K] side-major columns; stats [2K, F] ->
-    [K, 2, S]."""
+    layouts: phi [K, 3, F] -> [F, 2K] whole/delta columns (_delta_phi);
+    stats [2K, F] rows [whole | right] -> [K, 2, S] (left = whole - right,
+    exact to accumulation order)."""
     from ..ops import pallas_sweep
 
     k_slots = phi.shape[0]
@@ -236,8 +251,7 @@ def _assign_and_stats_pallas(
     tile = pick_tile(chunk, x.shape[-1], k_slots, f,
                      built_features=not x_is_features,
                      feat_bytes=x.dtype.itemsize)
-    phi_mat = jnp.transpose(phi, (2, 1, 0)).reshape(
-        phi.shape[-1], 3 * k_slots)
+    phi_mat = _delta_phi(phi, log_lrw)
     if x_is_features:
         phi_mat = _pad_phi_rows(phi_mat, f)  # lane-padded feature cache
     seed = jax.random.randint(key, (), 0, 2**31 - 1, jnp.int32)
@@ -246,7 +260,6 @@ def _assign_and_stats_pallas(
     tile_off = jnp.int32(chunk_offset) * (chunk // tile)
     labels, sub, stats2k = pallas_sweep.fused_assign(
         seed, x, valid, phi_mat, log_w,
-        jnp.transpose(log_lrw, (1, 0)),
         hard.astype(jnp.int32),
         tile_off=tile_off,
         k_slots=k_slots,
@@ -256,7 +269,9 @@ def _assign_and_stats_pallas(
         ll_precision=ll_precision,
         stats_precision=stats_precision,
     )
-    stats_lr = jnp.stack([stats2k[:k_slots], stats2k[k_slots:]], axis=1)
+    right = stats2k[k_slots:]
+    left = stats2k[:k_slots] - right
+    stats_lr = jnp.stack([left, right], axis=1)
     return labels, sub, stats_lr
 
 

@@ -215,36 +215,9 @@ class DPMMEngine:
             )
         )
 
-        if cfg.smart_splits:
-            from . import smart as smart_mod
-
-            def _smart(points, valid, labels, sublabels, flat3):
-                d_ = points.shape[-1]
-                stats = family.stats_from_flat(flat3, d_)
-                stats_w = jax.tree.map(lambda a: a[:, 0], stats)
-                sub = smart_mod.smart_sublabels(
-                    points, valid, labels, sublabels, stats_w,
-                    stats_w["n"] > 0, cfg.max_split_iter, DATA_AXIS,
-                )
-                stats_lr = jax.lax.psum(
-                    assign_mod.stats_only(
-                        points, valid, labels, sub, k_max, family, chunk,
-                        use_pallas=use_pallas, interpret=interpret,
-                        stats_precision=cfg.stats_precision,
-                    ),
-                    DATA_AXIS,
-                )
-                return sub, assign_mod.lr_to_full(stats_lr)
-
-            self._smart_init = jax.jit(
-                shard_map(
-                    _smart,
-                    mesh=self.mesh,
-                    in_specs=(dspec, dspec, dspec, dspec, rspec),
-                    out_specs=(dspec, rspec),
-                    check_vma=False,
-                )
-            )
+        self._smart_on = cfg.resolved_smart_splits(family.name)
+        self._smart_init_cache: dict = {}
+        self._smart_refresh_cache: dict = {}
 
         # Everything below is jitted as ONE program each: eager per-op
         # dispatch is prohibitively slow on remote-compile backends.
@@ -284,6 +257,136 @@ class DPMMEngine:
             static_argnums=(1,),
             out_shardings=(rshard, rshard, dshard, dshard),
         )
+
+    def _get_smart_init(self, d: int):
+        """Lazily-built jitted smart-init program (PCA + 2-means sub-labels
+        of the first clusters), keyed on the true data dim ``d`` -- with a
+        precomputed feature cache the raw points are recovered from the
+        cache's columns 1..D (rows are [1, x, ...])."""
+        fn = self._smart_init_cache.get(d)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from . import smart as smart_mod
+        from .sweep import resolve_pallas
+
+        cfg, family, k_max, chunk = self.cfg, self.family, self.cfg.k_max, \
+            self.cfg.chunk_size
+        use_pallas, interpret = resolve_pallas(cfg)
+        x_is_features = bool(cfg.precompute_features)
+        dspec, rspec = P(DATA_AXIS), P()
+
+        def _smart(points, valid, labels, sublabels, flat3):
+            raw = (
+                points[:, 1:1 + d].astype(jnp.float32)
+                if x_is_features else points
+            )
+            stats = family.stats_from_flat(flat3, d)
+            stats_w = jax.tree.map(lambda a: a[:, 0], stats)
+            sub = smart_mod.smart_sublabels(
+                raw, valid, labels, sublabels, stats_w,
+                stats_w["n"] > 0, cfg.max_split_iter, DATA_AXIS,
+            )
+            stats_lr = jax.lax.psum(
+                assign_mod.stats_only(
+                    points, valid, labels, sub, k_max, family, chunk,
+                    use_pallas=use_pallas, interpret=interpret,
+                    stats_precision=cfg.stats_precision,
+                    x_is_features=x_is_features,
+                ),
+                DATA_AXIS,
+            )
+            return sub, assign_mod.lr_to_full(stats_lr)
+
+        fn = jax.jit(
+            shard_map(
+                _smart,
+                mesh=self.mesh,
+                in_specs=(dspec, dspec, dspec, dspec, rspec),
+                out_specs=(dspec, rspec),
+                check_vma=False,
+            )
+        )
+        self._smart_init_cache[d] = fn
+        return fn
+
+    def _get_smart_refresh(self, d: int):
+        """Jitted block-boundary smart pass: 2-means sub-labels for EVERY
+        active real slot + a statistics refresh, table-in/table-out.
+
+        Runs between fused blocks (run_loop), not inside the sweep -- a
+        lax.cond around the O(N * max_split_iter) Lloyd loop executes both
+        branches on XLA:TPU (measured +29 ms/sweep).  Re-initializing all
+        slots is idempotent once their sub-states equal the PCA bisection,
+        so steady-state blocks pay one cheap no-op-ish pass per block; the
+        reference instead runs its init per newborn cluster inside the
+        iteration (src/local_clusters_actions.jl:374-378) -- equivalent up
+        to a <= 1-block init latency (newborns are burnout-gated anyway).
+        """
+        fn = self._smart_refresh_cache.get(d)
+        if fn is not None:
+            return fn
+        from jax.sharding import PartitionSpec as P
+        from . import smart as smart_mod
+        from .sweep import resolve_pallas
+        from .table import compute_posteriors
+
+        cfg, family, k_max, chunk = self.cfg, self.family, self.cfg.k_max, \
+            self.cfg.chunk_size
+        use_pallas, interpret = resolve_pallas(cfg)
+        x_is_features = bool(cfg.precompute_features)
+        dspec, rspec = P(DATA_AXIS), P()
+
+        def _refresh(table, points, valid, labels, sublabels):
+            raw = (
+                points[:, 1:1 + d].astype(jnp.float32)
+                if x_is_features else points
+            )
+            stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+            mask = table["active"] & ~table["is_outlier"]
+            sub = smart_mod.smart_sublabels(
+                raw, valid, labels, sublabels, stats_w, mask,
+                cfg.max_split_iter, DATA_AXIS,
+            )
+            stats_lr = jax.lax.psum(
+                assign_mod.stats_only(
+                    points, valid, labels, sub, k_max, family, chunk,
+                    use_pallas=use_pallas, interpret=interpret,
+                    stats_precision=cfg.stats_precision,
+                    x_is_features=x_is_features,
+                ),
+                DATA_AXIS,
+            )
+            flat3 = assign_mod.lr_to_full(stats_lr)
+            stats = family.stats_from_flat(flat3, d)
+            table = compute_posteriors(family, {**table, "stats": stats})
+            return table, sub
+
+        fn = jax.jit(
+            shard_map(
+                _refresh,
+                mesh=self.mesh,
+                in_specs=(rspec, dspec, dspec, dspec, dspec),
+                out_specs=(rspec, dspec),
+                check_vma=False,
+            )
+        )
+        self._smart_refresh_cache[d] = fn
+        return fn
+
+    def smart_refresh(self, state: "DPMMState", points, valid) -> "DPMMState":
+        """Apply the block-boundary smart sub-label pass (no-op engine-level
+        helper when smart splits are resolved off)."""
+        if not self._smart_on:
+            return state
+        prior = state.table["prior"]
+        d = (prior["m"] if "m" in prior else prior["alpha"]).shape[-1]
+        table, sublabels = self._get_smart_refresh(int(d))(
+            state.table, points, valid, state.labels, state.sublabels
+        )
+        return DPMMState(table=table, labels=state.labels,
+                         sublabels=sublabels, key=state.key,
+                         step=state.step)
 
     # -- data placement -----------------------------------------------------
     def pad_size(self, n: int) -> int:
@@ -380,10 +483,13 @@ class DPMMEngine:
             )
 
         flat3 = self._init_stats(points, valid, labels, sublabels)
-        if cfg.smart_splits:
+        if self._smart_on:
             # PCA + 2-means sub-label init of the first clusters (reference
             # init_first_clusters!, src/dp-parallel-sampling.jl:71-74)
-            sublabels, flat3 = self._smart_init(
+            d_model = (
+                prior["m"] if "m" in prior else prior["alpha"]
+            ).shape[-1]
+            sublabels, flat3 = self._get_smart_init(int(d_model))(
                 points, valid, labels, sublabels, flat3
             )
         table = self._build_table(kp, flat3, prior, outlier_prior)
@@ -496,6 +602,7 @@ def run_loop(
         block = max(1, cfg.fused_block)
         metrics_buf = []
         it = first_iter
+        blocks_since, refresh_interval, k_at_refresh = 0, 1, -1
         t_start = time.perf_counter()
         while it < iters:
             b = min(block, iters - it)
@@ -507,10 +614,30 @@ def run_loop(
             )
             metrics_buf.append(metrics)
             it += b
-            if migrator is not None and it < iters:
-                # one-scalar host sync per block; tier for the next block
-                k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
-                state, engine = tier_step(state, engine, k_now)
+            if it < iters:
+                need_k = migrator is not None or engine._smart_on
+                if need_k:
+                    # one-scalar host sync per block
+                    k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
+                # Block-boundary smart sub-label init (PCA + 2-means; see
+                # DPMMEngine.smart_refresh) with ADAPTIVE cadence: every
+                # block while K is moving (growth needs the rescue each
+                # burnout window), backing off to every 8 blocks once K is
+                # stable (the refresh is idempotent at convergence; paying
+                # it per block would tax steady-state throughput ~25%).
+                # Skipped before final-only tail blocks (splits gated off).
+                if engine._smart_on and it < iters - cfg.split_stop:
+                    blocks_since += 1
+                    if k_now != k_at_refresh:
+                        refresh_interval = 1
+                    if blocks_since >= refresh_interval:
+                        state = engine.smart_refresh(state, points, valid)
+                        if k_now == k_at_refresh:
+                            refresh_interval = min(refresh_interval * 2, 8)
+                        k_at_refresh = k_now
+                        blocks_since = 0
+                if migrator is not None:
+                    state, engine = tier_step(state, engine, k_now)
         # The device_get below is the ONE fence for every dispatched block,
         # so per-sweep wall time is only honest as the fenced mean: timing
         # each dispatch individually would measure enqueue latency, not
@@ -524,10 +651,25 @@ def run_loop(
             hist.log_posterior.extend(np.asarray(m["log_posterior"]).tolist())
         return state, hist
 
+    block = max(1, cfg.fused_block)
+    iters_since, refresh_interval, k_at_refresh = 0, block, -1
     for it in range(first_iter, iters):
         t0 = time.perf_counter()
         if migrator is not None:
             state, engine = tier_step(state, engine, k_now)
+        # same smart cadence as the fused path, in sweep units (every
+        # `block` sweeps while K moves, backing off 8x when stable)
+        if engine._smart_on and it > first_iter \
+                and it < iters - cfg.split_stop:
+            iters_since += 1
+            if k_now != k_at_refresh:
+                refresh_interval = block
+            if iters_since >= refresh_interval:
+                state = engine.smart_refresh(state, points, valid)
+                if k_now == k_at_refresh:
+                    refresh_interval = min(refresh_interval * 2, 8 * block)
+                k_at_refresh = k_now
+                iters_since = 0
         final = it >= iters - cfg.argmax_sample_stop
         no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)
         state, metrics = engine.step(

@@ -31,7 +31,6 @@ import jax.numpy as jnp
 
 from . import assign as assign_mod
 from . import moves
-from . import smart
 from .table import compute_posteriors, log_posterior, active_count
 
 NEG_INF = -jnp.inf
@@ -90,8 +89,8 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
 
         def gated_recompute(flag, table, labels, sublabels):
             """Refresh table statistics from (labels, sublabels) only when
-            ``flag`` (used by the opt-in smart-splits path, whose data-driven
-            sub-labels must be reflected in the stats).  The in-kernel
+            ``flag`` (used by the exact-post-move-stats path, whose
+            redrawn sub-labels must be reflected in the stats).  The in-kernel
             ``enable`` gate makes the disabled pass nearly free on TPU; the
             jnp path uses lax.cond (CPU executes one branch)."""
             if use_pallas and not interpret:
@@ -201,33 +200,21 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
                 kg1, table, labels, sublabels, alpha, final, family,
                 lm=lm3,
             )
-            if cfg.exact_post_move_stats and not cfg.smart_splits:
+            if cfg.exact_post_move_stats:
                 # reference-exact: realized post-split sub-labels + stats
                 # (krd is dedicated to this redraw -- kg1 was already
                 # consumed by split_move's MH draws)
                 table, sublabels = redraw_and_recompute(
                     krd, any_split, touched, table, labels, sublabels
                 )
-            if cfg.smart_splits:
-                # PCA + 2-means sub-label init of the affected slots
-                # (reference check_and_split! -> smart_cluster_init!,
-                # src/local_clusters_actions.jl:374-378)
-                def do_smart(args):
-                    t_, l_, s_ = args
-                    stats_w = jax.tree.map(lambda a: a[:, 0], t_["stats"])
-                    return smart.smart_sublabels(
-                        points, valid, l_, s_, stats_w, touched,
-                        cfg.max_split_iter, axis_name,
-                    )
-
-                sublabels = jax.lax.cond(
-                    any_split, do_smart, lambda a: a[2],
-                    (table, labels, sublabels),
-                )
-                # smart sub-labels are data-driven, so the stats must be
-                # recomputed to match (the plain path instead keeps the
-                # expectation-halved stats set inside split_move)
-                table = gated_recompute(any_split, table, labels, sublabels)
+            # NOTE: smart splits (PCA + 2-means sub-label init,
+            # resolved_smart_splits) run at BLOCK boundaries from the host
+            # loop (DPMMEngine.smart_refresh / run_loop), NOT here: a
+            # lax.cond around the O(N * max_split_iter) 2-means inside the
+            # sweep executes both branches on XLA:TPU -- measured
+            # +29 ms/sweep at the flagship even with zero accepted splits.
+            # Newborn slots are burnout-gated for `burnout` sweeps, so a
+            # once-per-block init loses nothing but a few sweeps of latency.
             table, labels, sublabels = moves.merge_move(
                 kg2, table, labels, sublabels, alpha, final, family,
                 lm_w=lm3[:, 0], candidates=cfg.merge_candidates,

@@ -81,22 +81,23 @@ def real_prior(feats: np.ndarray):
 
 
 def run_real(path: str, iters: int, out_dir: str, seed: int = 0,
-             k_max: int = 128):
+             k_max: int = 256, reference_gate: bool = False,
+             suffix: str = ""):
     feats, (h, w) = real_features(path)
     print(f"{len(feats):,} pixels x 5 features (frame {w}x{h})")
     prior = real_prior(feats)
     t0 = time.perf_counter()
-    # track_posterior=False lets the driver fuse 16 sweeps per XLA
-    # dispatch (per-iteration metrics force one host round trip per sweep,
-    # which dominates at this small per-sweep compute); the final log
-    # posterior is computed once from the model below
-    # merge_candidates: screened merge scan -- at K~100+ the default exact
-    # all-pairs merge (k_max^2 pairwise marginals per sweep) dominates the
-    # tiny 5-D per-point work
+    # track_posterior stays ON (an in-scan metric, no host sync) so the
+    # artifact carries the per-sweep posterior trajectory; merge_candidates:
+    # screened merge scan -- at K~100+ the default exact all-pairs merge
+    # (k_max^2 pairwise marginals per sweep) dominates the tiny 5-D
+    # per-point work.  k_max=256 default leaves the K plateau un-capped
+    # (the round-3 artifact hit its 128-slot ceiling at k_final=116).
     result = dpmm.fit(
         feats, alpha=50000.0, prior=prior, iters=iters, seed=seed,
-        verbose=False, k_max=k_max, track_posterior=False,
+        verbose=False, k_max=k_max, track_posterior=True,
         merge_candidates=4 * k_max,
+        reference_splittable_gate=reference_gate,
     )
     total_s = time.perf_counter() - t0
     k_hist = result.history.k
@@ -117,16 +118,20 @@ def run_real(path: str, iters: int, out_dir: str, seed: int = 0,
     seg = (colors[result.labels].reshape(h, w, 3) * 255).astype(np.uint8)
     from PIL import Image
 
-    seg_path = os.path.join(out_dir, "segmentation.png")
+    seg_path = os.path.join(out_dir, f"segmentation{suffix}.png")
     Image.fromarray(seg).save(seg_path)
+    lp_hist = [float(v) for v in result.history.log_posterior]
     row = {
-        "workload": "image_seg_real",
+        "workload": "image_seg_real" + suffix,
         "n": len(feats),
         "d": 5,
         "iters": iters,
+        "k_slots_capacity": int(k_max),
+        "reference_splittable_gate": bool(reference_gate),
         "k_final": int(result.k),
         "k_max_seen": int(max(k_hist)),
         "k_history_every10": [int(k) for k in k_hist[::10]],
+        "log_posterior_every10": [round(v, 1) for v in lp_hist[::10]],
         "total_s": round(total_s, 2),
         "steady_ms_per_iter": round(ms_iter, 2),
         "steady_points_per_s": round(len(feats) / (ms_iter * 1e-3), 0),
@@ -136,7 +141,7 @@ def run_real(path: str, iters: int, out_dir: str, seed: int = 0,
                      "biased splittable gate freezes tight clusters -- see "
                      "docs/design.md 'splittable-gate fix'",
     }
-    res_path = os.path.join(out_dir, "image_seg_real.json")
+    res_path = os.path.join(out_dir, f"image_seg_real{suffix}.json")
     with open(res_path, "w") as f:
         json.dump(row, f, indent=1)
     print(f"wrote {seg_path} and {res_path}")
@@ -152,10 +157,15 @@ def main():
     ap.add_argument("--iters", type=int, default=None)
     ap.add_argument("--out", default="benchmarks/results",
                     help="output dir for --real artifacts")
+    ap.add_argument("--kmax", type=int, default=256)
+    ap.add_argument("--gate", action="store_true",
+                    help="reference-verbatim splittable gate chain")
+    ap.add_argument("--suffix", default="")
     args = ap.parse_args()
 
     if args.real is not None:
-        run_real(args.real, args.iters or 300, args.out)
+        run_real(args.real, args.iters or 300, args.out, k_max=args.kmax,
+                 reference_gate=args.gate, suffix=args.suffix)
         return
 
     feats, gt = synthetic_image()

@@ -150,7 +150,14 @@ def test_reference_splittable_gate_flag_runs():
     from tests.test_fit_e2e import four_corners
 
     x, gt = four_corners(400)
+    # smart_splits=False: the reference's own default.  With smart splits ON,
+    # the perfectly-bisected corners push the sub-marginal sums POSITIVE
+    # immediately, and the reference's biased 1/(b - 0.1) window mean then
+    # blocks `splittable` forever (the exact bug the flag reproduces) -- so
+    # a reference-verbatim A/B must pin the reference's smart_splits too
+    # (DPMMConfig.reference_verbatim bundles all of these).
     r = dpmm.fit(x, alpha=100.0, iters=60, seed=1, verbose=False,
-                 burnout=5, reference_splittable_gate=True)
+                 burnout=5, reference_splittable_gate=True,
+                 smart_splits=False)
     assert r.k == 4
     assert dpmm.nmi(gt, r.labels) > 0.999

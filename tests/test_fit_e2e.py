@@ -126,6 +126,34 @@ def test_smart_splits():
     assert dpmm.nmi(gt, res.labels) > 0.999
 
 
+def test_smart_splits_with_feature_cache():
+    """Smart splits compose with precompute_features: the raw points are
+    recovered from the cache's columns 1..D (feature rows are [1, x, ...]),
+    so the default-on smart init keeps the fast cached-feature sweep."""
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=80, seed=5, verbose=False,
+                   burnout=5, smart_splits=True, precompute_features=True)
+    assert res.model.cfg.precompute_features is True
+    assert res.k == 4
+    assert dpmm.nmi(gt, res.labels) > 0.999
+
+
+def test_smart_splits_rescues_separated_mixture():
+    """The regression this pins (round 4): a slot holding several
+    well-separated components is a symmetric saddle of the sub-cluster
+    chain -- without smart splits the exact sampler under-splits for a long
+    time.  Smart splits must recover the full component count quickly."""
+    rng = np.random.default_rng(3)
+    k_true, d, n = 12, 16, 24_000
+    means = rng.standard_normal((k_true, d)).astype(np.float32) * 8.0
+    lab = rng.integers(0, k_true, size=n)
+    x = means[lab] + rng.standard_normal((n, d)).astype(np.float32)
+    res = dpmm.fit(x, alpha=10.0, iters=60, seed=0, verbose=False,
+                   k_max=32, burnout=5, smart_splits=True)
+    assert res.k == k_true, res.k
+    assert dpmm.nmi(lab, res.labels) > 0.999
+
+
 def test_fit_distributed_single_process():
     """fit_distributed exercises the multi-host data-placement path
     (make_array_from_process_local_data + global centering reduction) --

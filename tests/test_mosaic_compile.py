@@ -43,18 +43,17 @@ def test_fused_assign_compiles_for_tpu(family, d, f, k_slots,
     n = 4 * tile
     x = jnp.zeros((n, d), jnp.float32)
     valid = jnp.ones((n // 128, 128), bool)   # lane-blocked stream
-    phi = jnp.zeros((f, 3 * k_slots), jnp.float32)
+    phi = jnp.zeros((f, 2 * k_slots), jnp.float32)  # [whole K | delta K]
     logw = jnp.zeros((k_slots,), jnp.float32)
-    loglrw = jnp.zeros((2, k_slots), jnp.float32)
 
-    def fn(x, valid, phi, logw, loglrw):
+    def fn(x, valid, phi, logw):
         return ps.fused_assign(
-            jnp.int32(0), x, valid, phi, logw, loglrw, jnp.int32(0),
+            jnp.int32(0), x, valid, phi, logw, jnp.int32(0),
             k_slots=k_slots, family_name=family, tile=tile,
             ll_precision="default", stats_precision=stats_precision,
         )
 
-    _export_tpu(fn, x, valid, phi, logw, loglrw)
+    _export_tpu(fn, x, valid, phi, logw)
 
 
 @pytest.mark.parametrize("family,d,f", CASES)

@@ -190,7 +190,7 @@ def test_distributed_cli(tmp_path):
     params = {
         "data_path": str(tmp_path / "rows{proc}.npy"),
         "alpha": 100.0,
-        "iters": 60,
+        "iters": 80,
         "seed": 6,
         "burnout": 5,
         "verbose": False,
