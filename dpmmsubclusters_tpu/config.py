@@ -88,13 +88,18 @@ class DPMMConfig:
     ll_precision: str = "default"   # Pallas likelihood-matmul precision:
     # "default" = 1 bf16 MXU pass (logit noise ~1e-3 relative -- far below
     # the Gumbel sampling noise; ~1.5x faster kernel), "highest" = exact f32
-    stats_precision: str = "split3"  # statistics-matmul precision.  The
+    stats_precision: str = "split2"  # statistics-matmul precision.  The
     # covariance suff stat cancels E[xx] - mu mu^T, so plain bf16 ("default")
-    # is unusable (K=17/NMI 0.964 on the 200k x 32-d gate).  "split3" is the
-    # one-sided bf16 split (ops/pallas_sweep._stats_dot): the one-hot
-    # operand is exact in bf16, so 3 feature planes reproduce exact-f32
-    # stats (rtol 2e-6) at half the MXU passes of "highest" (6).  "split2"
-    # (2 passes, rtol 3e-5) also passes every gate; "highest" = exact f32
+    # is unusable (K=17/NMI 0.964 on the 200k x 32-d gate).  "split2"/"split3"
+    # are one-sided bf16 splits (ops/pallas_sweep._stats_dot): the one-hot
+    # operand is exact in bf16, so 2 feature planes give a ~16-bit mantissa
+    # (rtol 3e-5 vs exact f32) and 3 planes >= f32's 24 bits (rtol 2e-6),
+    # at 1/3 resp. 1/2 the MXU passes of "highest" (6).  Default split2:
+    # passes every quality gate at full NMI (round-4 TPU evidence: 200k x
+    # 32-d K=20/NMI 1.0, flagship K=64/NMI 1.0, 20/20 parity runs) and cuts
+    # the fused kernel ~2.3 ms/sweep at the flagship vs split3
+    # (benchmarks/kernel_tile_study.py).  Use "split3"/"highest" for extra
+    # margin on ill-conditioned unstandardized data.
     reference_splittable_gate: bool = False  # reproduce the reference's
     # biased splittable gate verbatim: its burnout window "mean" divides by
     # (b - 0.1) instead of b (shared_actions.jl:54-63), so clusters with
