@@ -46,10 +46,11 @@ def main():
     if SMALL:
         n, d, k_true, k_max, warmup, timed = 100_000, 32, 20, 32, 10, 10
     else:
-        # warmup runs 4 blocks (compile + settle K near its converged value);
-        # the timed window chains 3 block dispatches with ONE final sync so
-        # tunneled-backend round-trip latency amortizes over 30 sweeps
-        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 40, 10
+        # warmup runs 7 blocks (compile + settle K to its converged value
+        # -- the chain reaches K=64 around sweep 60); the timed window then
+        # chains 8 block dispatches with ONE final sync so tunneled-backend
+        # round-trip latency amortizes over 80 steady-state sweeps
+        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 70, 10
 
     log(f"devices: {jax.devices()}")
 
@@ -75,29 +76,26 @@ def main():
     log("init done")
 
     # warmup uses the SAME block length as the timed run -- a different
-    # length would recompile the scan and pollute the timing.  The
-    # block-boundary smart pass mirrors run_loop's product behavior and is
-    # INCLUDED in the timed window (steady-state blocks pay it too).
+    # length would recompile the scan and pollute the timing.  The smart
+    # sub-label pass for newborn slots runs INSIDE the block program (a
+    # gated near-no-op when nothing split), so the dispatch loop is just
+    # blocks.
     off = np.zeros(timed, bool)
     for _ in range(max(1, warmup // timed)):
         state, metrics = engine.step_block(
             state, points, valid, n_total, off, off
         )
-        state = engine.smart_refresh(state, points, valid)
     k_active = int(metrics["k"][-1])
     log(f"warmup blocks done (compile + settle): K={k_active}")
 
-    # timed window = the steady-state duty cycle run_loop settles into once
-    # K is stable: 8 fused blocks + ONE smart refresh (adaptive cadence,
-    # sampler/driver.run_loop), fenced once at the end
+    # timed window = exactly what run_loop executes per block at steady
+    # state, fenced once at the end
     blocks = 8
     t0 = time.perf_counter()
     for i in range(blocks):
         state, metrics = engine.step_block(
             state, points, valid, n_total, off, off
         )
-        if i == blocks - 1:
-            state = engine.smart_refresh(state, points, valid)
     k_final = int(metrics["k"][-1])  # sync once, after all blocks
     dt = time.perf_counter() - t0
 

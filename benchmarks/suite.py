@@ -155,8 +155,6 @@ def main(which):
         for _ in range(grow // 10):
             state, metrics = engine.step_block(
                 state, points, valid, n_total, off, off)
-            # block-boundary smart pass, mirroring run_loop/bench.py
-            state = engine.smart_refresh(state, points, valid)
             k_hist.append(int(jax.device_get(metrics["k"])[-1]))
         grow_s = time.perf_counter() - t0
         t0 = time.perf_counter()

@@ -210,6 +210,10 @@ def load_checkpoint(path: str):
             for p in parts[:-1]:
                 node = node.setdefault(p, {})
             node[parts[-1]] = z[k]
+        # forward-compat: table fields added after a checkpoint was written
+        # get their neutral default instead of breaking the pytree
+        if "active" in table and "needs_smart" not in table:
+            table["needs_smart"] = np.zeros_like(table["active"])
         out = {
             "table": table,
             "labels": z["labels"],

@@ -31,7 +31,7 @@ from ..config import DPMMConfig
 from ..parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh, replicated
 from . import assign as assign_mod
 from .table import compute_posteriors, init_table
-from .sweep import make_sweep
+from .sweep import make_smart_pass, make_sweep
 
 
 def _round_up(n: int, m: int) -> int:
@@ -136,10 +136,32 @@ class DPMMEngine:
         self.n_dev = int(np.prod(self.mesh.devices.shape))
 
         sweep = make_sweep(family, cfg, axis_name=DATA_AXIS)
+        self._smart_on = cfg.resolved_smart_splits(family.name)
+        # the smart sub-label pass runs INSIDE the compiled programs (after
+        # the sweep / at block end): no per-block host probe, and the
+        # marked-slot gating keeps it nearly free when nothing split
+        # (see sweep.make_smart_pass)
+        smart_fn = (
+            make_smart_pass(family, cfg, axis_name=DATA_AXIS)
+            if self._smart_on else None
+        )
+
+        def step_fn(table, labels, sublabels, key, points, valid, n_total,
+                    final, no_more_splits):
+            table, labels, sublabels, key, metrics = sweep(
+                table, labels, sublabels, key, points, valid, n_total,
+                final, no_more_splits,
+            )
+            if smart_fn is not None:
+                table, sublabels = smart_fn(
+                    table, labels, sublabels, points, valid
+                )
+            return table, labels, sublabels, key, metrics
+
         dspec, rspec = P(DATA_AXIS), P()
         self._step = jax.jit(
             shard_map(
-                sweep,
+                step_fn,
                 mesh=self.mesh,
                 in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
                           rspec, rspec, rspec),
@@ -176,6 +198,12 @@ class DPMMEngine:
             (table, labels, sublabels, key), metrics = jax.lax.scan(
                 body, (table, labels, sublabels, key), (finals, nms)
             )
+            if smart_fn is not None:
+                # ONE smart pass per block (not per sweep: the ungated
+                # projection scans would cost ~2 ms every sweep)
+                table, sublabels = smart_fn(
+                    table, labels, sublabels, points, valid
+                )
             return table, labels, sublabels, key, metrics
 
         self._step_block = jax.jit(
@@ -215,7 +243,6 @@ class DPMMEngine:
             )
         )
 
-        self._smart_on = cfg.resolved_smart_splits(family.name)
         self._smart_init_cache: dict = {}
         self._smart_refresh_cache: dict = {}
 
@@ -311,17 +338,18 @@ class DPMMEngine:
         return fn
 
     def _get_smart_refresh(self, d: int):
-        """Jitted block-boundary smart pass: 2-means sub-labels for EVERY
-        active real slot + a statistics refresh, table-in/table-out.
+        """Jitted block-boundary smart pass: 2-means sub-label init + a
+        statistics refresh for the slots MARKED ``needs_smart`` (set by
+        accepted splits), table-in/table-out; clears the marks.
 
         Runs between fused blocks (run_loop), not inside the sweep -- a
         lax.cond around the O(N * max_split_iter) Lloyd loop executes both
-        branches on XLA:TPU (measured +29 ms/sweep).  Re-initializing all
-        slots is idempotent once their sub-states equal the PCA bisection,
-        so steady-state blocks pay one cheap no-op-ish pass per block; the
-        reference instead runs its init per newborn cluster inside the
-        iteration (src/local_clusters_actions.jl:374-378) -- equivalent up
-        to a <= 1-block init latency (newborns are burnout-gated anyway).
+        branches on XLA:TPU (measured +29 ms/sweep).  Only newborn slots
+        are touched, matching the reference's per-newborn
+        ``smart_cluster_init!`` (src/local_clusters_actions.jl:374-378) up
+        to a <= 1-block latency (newborns are burnout-gated anyway);
+        refreshing EVERY slot every block would clamp healthy sub-chains to
+        PCA bisections and measurably under-splits overlapping mixtures.
         """
         fn = self._smart_refresh_cache.get(d)
         if fn is not None:
@@ -343,7 +371,10 @@ class DPMMEngine:
                 if x_is_features else points
             )
             stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
-            mask = table["active"] & ~table["is_outlier"]
+            mask = (
+                table["needs_smart"] & table["active"]
+                & ~table["is_outlier"]
+            )
             sub = smart_mod.smart_sublabels(
                 raw, valid, labels, sublabels, stats_w, mask,
                 cfg.max_split_iter, DATA_AXIS,
@@ -360,6 +391,8 @@ class DPMMEngine:
             flat3 = assign_mod.lr_to_full(stats_lr)
             stats = family.stats_from_flat(flat3, d)
             table = compute_posteriors(family, {**table, "stats": stats})
+            table = {**table,
+                     "needs_smart": jnp.zeros_like(table["needs_smart"])}
             return table, sub
 
         fn = jax.jit(
@@ -375,9 +408,18 @@ class DPMMEngine:
         return fn
 
     def smart_refresh(self, state: "DPMMState", points, valid) -> "DPMMState":
-        """Apply the block-boundary smart sub-label pass (no-op engine-level
-        helper when smart splits are resolved off)."""
+        """Apply the block-boundary smart sub-label pass to the slots born
+        since the last call; a fast no-op (one scalar fetch) when nothing
+        split and when smart splits are resolved off."""
         if not self._smart_on:
+            return state
+        if not hasattr(self, "_any_needs"):
+            # jitted flag probe: eager per-op dispatch is slow on
+            # remote-compile backends
+            self._any_needs = jax.jit(jnp.any)
+        if not bool(np.asarray(
+            jax.device_get(self._any_needs(state.table["needs_smart"]))
+        )):
             return state
         prior = state.table["prior"]
         d = (prior["m"] if "m" in prior else prior["alpha"]).shape[-1]
@@ -602,7 +644,6 @@ def run_loop(
         block = max(1, cfg.fused_block)
         metrics_buf = []
         it = first_iter
-        blocks_since, refresh_interval, k_at_refresh = 0, 1, -1
         t_start = time.perf_counter()
         while it < iters:
             b = min(block, iters - it)
@@ -614,30 +655,11 @@ def run_loop(
             )
             metrics_buf.append(metrics)
             it += b
-            if it < iters:
-                need_k = migrator is not None or engine._smart_on
-                if need_k:
-                    # one-scalar host sync per block
-                    k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
-                # Block-boundary smart sub-label init (PCA + 2-means; see
-                # DPMMEngine.smart_refresh) with ADAPTIVE cadence: every
-                # block while K is moving (growth needs the rescue each
-                # burnout window), backing off to every 8 blocks once K is
-                # stable (the refresh is idempotent at convergence; paying
-                # it per block would tax steady-state throughput ~25%).
-                # Skipped before final-only tail blocks (splits gated off).
-                if engine._smart_on and it < iters - cfg.split_stop:
-                    blocks_since += 1
-                    if k_now != k_at_refresh:
-                        refresh_interval = 1
-                    if blocks_since >= refresh_interval:
-                        state = engine.smart_refresh(state, points, valid)
-                        if k_now == k_at_refresh:
-                            refresh_interval = min(refresh_interval * 2, 8)
-                        k_at_refresh = k_now
-                        blocks_since = 0
-                if migrator is not None:
-                    state, engine = tier_step(state, engine, k_now)
+            if migrator is not None and it < iters:
+                # one-scalar host sync per block; tier the next block
+                # (the smart sub-label pass runs INSIDE the block program)
+                k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
+                state, engine = tier_step(state, engine, k_now)
         # The device_get below is the ONE fence for every dispatched block,
         # so per-sweep wall time is only honest as the fenced mean: timing
         # each dispatch individually would measure enqueue latency, not
@@ -651,25 +673,10 @@ def run_loop(
             hist.log_posterior.extend(np.asarray(m["log_posterior"]).tolist())
         return state, hist
 
-    block = max(1, cfg.fused_block)
-    iters_since, refresh_interval, k_at_refresh = 0, block, -1
     for it in range(first_iter, iters):
         t0 = time.perf_counter()
         if migrator is not None:
             state, engine = tier_step(state, engine, k_now)
-        # same smart cadence as the fused path, in sweep units (every
-        # `block` sweeps while K moves, backing off 8x when stable)
-        if engine._smart_on and it > first_iter \
-                and it < iters - cfg.split_stop:
-            iters_since += 1
-            if k_now != k_at_refresh:
-                refresh_interval = block
-            if iters_since >= refresh_interval:
-                state = engine.smart_refresh(state, points, valid)
-                if k_now == k_at_refresh:
-                    refresh_interval = min(refresh_interval * 2, 8 * block)
-                k_at_refresh = k_now
-                iters_since = 0
         final = it >= iters - cfg.argmax_sample_stop
         no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)
         state, metrics = engine.step(

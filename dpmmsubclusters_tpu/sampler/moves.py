@@ -314,6 +314,9 @@ def split_move(key, table, labels, sublabels, alpha: float, final,
         "lr_weights": lr_weights,
         "hist": hist,
         "splittable": splittable,
+        # both halves of an accepted split await a smart sub-label init
+        # (reference check_and_split! -> smart_cluster_init!, :374-378)
+        "needs_smart": table["needs_smart"] | touched,
     }
     return compute_posteriors(family, table), labels, sublabels, \
         jnp.any(accept), touched

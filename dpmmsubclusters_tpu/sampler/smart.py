@@ -64,9 +64,14 @@ def smart_sublabels(
     max_iter: int,
     axis_name: Optional[str] = None,
     chunk: int = 16384,
+    gate=None,              # optional traced bool: False -> Lloyd skipped
 ) -> jax.Array:
     """Returns sub-labels (lane-blocked) with points of marked slots set by
-    the projected 2-means; all other points keep their current sub-label."""
+    the projected 2-means; all other points keep their current sub-label.
+
+    ``gate`` (for flatten-safe in-program use on TPU): when False the Lloyd
+    while_loop exits immediately and -- since no slot is marked -- the
+    output equals ``sublabels``; only the cheap projection scans run."""
     blocked_shape = sublabels.shape
     n = points.shape[0]
     chunk = min(chunk, n)
@@ -150,9 +155,11 @@ def smart_sublabels(
     # movement tolerance is relative to the projection spread (std)
     tol = 1e-3 * jnp.maximum(jnp.max(std), 1e-12)
 
+    enabled = jnp.asarray(True) if gate is None else gate
+
     def cond(carry):
         m, prev_move, it = carry
-        return (it < max_iter) & (prev_move > tol)
+        return (it < max_iter) & (prev_move > tol) & enabled
 
     def step(carry):
         m, _, it = carry

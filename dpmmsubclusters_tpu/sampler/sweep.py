@@ -31,9 +31,92 @@ import jax.numpy as jnp
 
 from . import assign as assign_mod
 from . import moves
+from . import smart as smart_mod
 from .table import compute_posteriors, log_posterior, active_count
 
 NEG_INF = -jnp.inf
+
+
+def make_smart_pass(family, cfg, axis_name: Optional[str] = None):
+    """Build the in-program smart sub-label pass: PCA + 2-means init + a
+    statistics refresh for the slots marked ``needs_smart`` (set by
+    split_move), clearing the marks.
+
+    Runs INSIDE the compiled step/block programs (DPMMEngine) so there is
+    no per-block host probe (a tunnel round trip per block) and no
+    lax.cond around O(N) work for XLA:TPU to flatten: when nothing is
+    marked, the Lloyd while_loop exits immediately via the ``gate`` and
+    the statistics kernel's in-kernel ``enable`` makes the refresh nearly
+    free -- only the cheap projection scans run.  The jnp/CPU path wraps
+    the whole thing in lax.cond instead (CPU executes one branch).
+
+    Matches the reference's per-newborn ``smart_cluster_init!``
+    (src/local_clusters_actions.jl:374-378): ONLY newborn slots are
+    (re)initialized -- refreshing every slot would clamp healthy
+    sub-chains to PCA bisections and under-split overlapping mixtures.
+    """
+    chunk = cfg.chunk_size
+    use_pallas, interpret = resolve_pallas(cfg)
+    x_is_features = bool(cfg.precompute_features)
+
+    def smart_pass(table, labels, sublabels, points, valid):
+        prior = table["prior"]
+        d = (prior["m"] if "m" in prior else prior["alpha"]).shape[-1]
+        k_slots = table["active"].shape[0]
+        mask = (
+            table["needs_smart"] & table["active"] & ~table["is_outlier"]
+        )
+        any_mark = jnp.any(mask)
+        raw = (
+            points[:, 1:1 + d].astype(jnp.float32)
+            if x_is_features else points
+        )
+
+        def stats_refresh(table, sublabels, enable):
+            stats_lr = assign_mod.stats_only(
+                points, valid, labels, sublabels, k_slots, family, chunk,
+                use_pallas=use_pallas, interpret=interpret,
+                stats_precision=cfg.stats_precision, enable=enable,
+                x_is_features=x_is_features,
+            )
+            if axis_name is not None:
+                stats_lr = jax.lax.psum(stats_lr, axis_name)
+            flat3 = assign_mod.lr_to_full(stats_lr)
+            stats = family.stats_from_flat(flat3, d)
+            return compute_posteriors(family, {**table, "stats": stats})
+
+        if use_pallas and not interpret:
+            stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+            sub2 = smart_mod.smart_sublabels(
+                raw, valid, labels, sublabels, stats_w, mask,
+                cfg.max_split_iter, axis_name, gate=any_mark,
+            )
+            new = stats_refresh(table, sub2, enable=any_mark)
+            sel = lambda nw, old: jnp.where(any_mark, nw, old)
+            table = {
+                **table,
+                "stats": jax.tree.map(sel, new["stats"], table["stats"]),
+                "post": jax.tree.map(sel, new["post"], table["post"]),
+                "needs_smart": table["needs_smart"] & ~mask,
+            }
+            return table, sub2
+
+        def do(args):
+            table, sublabels = args
+            stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
+            sub2 = smart_mod.smart_sublabels(
+                raw, valid, labels, sublabels, stats_w, mask,
+                cfg.max_split_iter, axis_name,
+            )
+            table = stats_refresh(table, sub2, enable=None)
+            return {**table, "needs_smart": table["needs_smart"] & ~mask}, \
+                sub2
+
+        return jax.lax.cond(
+            any_mark, do, lambda args: args, (table, sublabels)
+        )
+
+    return smart_pass
 
 
 def resolve_pallas(cfg):

@@ -93,6 +93,13 @@ def init_table(family, prior, outlier_prior, cfg, d: int):
         "log_weights": jnp.where(active, 0.0, NEG_INF).astype(jnp.float32),
         "hist": jnp.full((k, cfg.burnout), NEG_INF, jnp.float32),
         "splittable": jnp.zeros((k,), bool),
+        # slots awaiting a smart (PCA + 2-means) sub-label init: set by
+        # split_move for both halves of an accepted split, consumed and
+        # cleared by the block-boundary smart refresh (the reference
+        # smart-inits exactly the newborn clusters,
+        # src/local_clusters_actions.jl:374-378 -- NOT every slot every
+        # block, which would clamp healthy sub-chains to PCA bisections)
+        "needs_smart": jnp.zeros((k,), bool),
     }
     return table
 
@@ -149,6 +156,7 @@ def retier(family, table, k_new: int):
         "log_weights": remap(table["log_weights"], NEG_INF),
         "hist": remap(table["hist"], NEG_INF),
         "splittable": remap(table["splittable"], False),
+        "needs_smart": remap(table["needs_smart"], False),
     }
     return compute_posteriors(family, new), lut
 
