@@ -46,11 +46,12 @@ def main():
     if SMALL:
         n, d, k_true, k_max, warmup, timed = 100_000, 32, 20, 32, 10, 10
     else:
-        # warmup runs 7 blocks (compile + settle K to its converged value
+        # block length 16 = the product default (DPMMConfig.fused_block).
+        # warmup runs 5 blocks (compile + settle K to its converged value
         # -- the chain reaches K=64 around sweep 60); the timed window then
-        # chains 8 block dispatches with ONE final sync so tunneled-backend
+        # chains 5 block dispatches with ONE final sync so tunneled-backend
         # round-trip latency amortizes over 80 steady-state sweeps
-        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 70, 10
+        n, d, k_true, k_max, warmup, timed = 1_000_000, 32, 64, 128, 80, 16
 
     log(f"devices: {jax.devices()}")
 
@@ -90,7 +91,7 @@ def main():
 
     # timed window = exactly what run_loop executes per block at steady
     # state, fenced once at the end
-    blocks = 8
+    blocks = 5
     t0 = time.perf_counter()
     for i in range(blocks):
         state, metrics = engine.step_block(
