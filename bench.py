@@ -62,9 +62,12 @@ def main():
     x = means[labels] + rng.standard_normal((n, d)).astype(np.float32)
     log("data generated")
 
+    # merge_candidates = k_max: top-K screened pairs cover every
+    # plausible merge at K<=64 live clusters (r4 A/B: 3 seeds K=64 /
+    # NMI 1.0, same as 4*k_max, -0.5 ms/sweep of candidate Cholesky work)
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
                      verbose=False, track_posterior=False,
-                     merge_candidates=4 * k_max, precompute_features=True)
+                     merge_candidates=k_max, precompute_features=True)
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
     points, valid, n_total = engine.shard_points(x - x.mean(0))
