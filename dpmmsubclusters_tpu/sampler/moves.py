@@ -510,6 +510,7 @@ def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
         "lr_weights": lr_weights,
         "hist": hist,
         "splittable": splittable,
+        "needs_smart": table["needs_smart"] & active,
     }
     table = compute_posteriors(family, table)
     return table, labels, sublabels
@@ -525,4 +526,6 @@ def remove_empty(table, outlier_mod: float):
         only_real = jnp.sum(real.astype(jnp.int32)) == 1
         keep = keep | (real & only_real)
     active = table["active"] & keep
-    return {**table, "active": active, "splittable": table["splittable"] & active}
+    return {**table, "active": active,
+            "splittable": table["splittable"] & active,
+            "needs_smart": table["needs_smart"] & active}
