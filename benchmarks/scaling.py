@@ -172,9 +172,15 @@ def run_p(nprocs: int, n_total: int, d: int, k_true: int, port: int):
 def main():
     args = sys.argv[1:]
     mode = "strong"
-    if args[:2][:1] == ["--mode"]:
+    if args and args[0] == "--mode":
+        if len(args) < 2:
+            raise SystemExit("--mode requires a value "
+                             "(strong | weak | collective)")
         mode = args[1]
         args = args[2:]
+    if mode not in ("strong", "weak", "collective"):
+        raise SystemExit(f"unknown --mode {mode!r} "
+                         "(strong | weak | collective)")
 
     if mode == "collective":
         k = int(args[0]) if len(args) > 0 else 128

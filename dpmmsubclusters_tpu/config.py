@@ -67,13 +67,13 @@ class DPMMConfig:
     # rows ONCE per fit and stream them per sweep instead of rebuilding in
     # the kernel (the build is VPU-bound narrow-lane work, ~25% of the
     # Gaussian kernel at D=32).  None = auto: on when the per-device
-    # feature cache fits feature_cache_bytes and smart_splits is off
-    # (smart splits need the raw points inside the sweep)
+    # feature cache fits feature_cache_bytes.  Composes with smart splits
+    # (the raw points are recovered from cache columns 1..D)
     feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
     feature_dtype: str = "float32"  # storage dtype of the precomputed
     # feature cache: "float32" or "bfloat16".  bf16 halves the sweep's HBM
     # traffic AND collapses the stats split to a single exact MXU pass --
-    # measured 1.57x (11.7 ms/sweep, 85M pts/s at the flagship) -- but the
+    # measured 1.57x on the round-3 kernel -- but the
     # ~2^-9 per-point rounding leaves ~0.1% rms noise on each cluster
     # covariance, which nu_post ~ n_k amplifies into O(30)-nat noise on
     # every split/merge Hastings ratio: the chain under-splits (fails the
@@ -160,12 +160,14 @@ class DPMMConfig:
         if self.feature_dtype not in ("float32", "bfloat16"):
             _bad(f"feature_dtype must be 'float32' or 'bfloat16', "
                  f"got {self.feature_dtype!r}")
-        for fld in ("ll_precision", "stats_precision"):
-            v = getattr(self, fld)
-            allowed = ("default", "high", "highest", "split2", "split3",
-                       "bf16")
-            if v not in allowed:
-                _bad(f"{fld} must be one of {allowed}, got {v!r}")
+        ll_allowed = ("default", "high", "highest", "bf16")
+        if self.ll_precision not in ll_allowed:
+            _bad(f"ll_precision must be one of {ll_allowed}, "
+                 f"got {self.ll_precision!r}")
+        st_allowed = ("default", "high", "highest", "split2", "split3")
+        if self.stats_precision not in st_allowed:
+            _bad(f"stats_precision must be one of {st_allowed}, "
+                 f"got {self.stats_precision!r}")
 
     @classmethod
     def reference_verbatim(cls, **kw) -> "DPMMConfig":
@@ -198,9 +200,16 @@ class DPMMConfig:
 
     def resolved_smart_splits(self, family_name: str) -> bool:
         """None = auto: on for Gaussian (covariance-PCA init), off
-        otherwise."""
+        otherwise.  Explicit True with a non-Gaussian family fails fast --
+        the init needs the sum_xx covariance statistic."""
         if self.smart_splits is None:
             return family_name == "gaussian"
+        if self.smart_splits and family_name != "gaussian":
+            raise ValueError(
+                "smart_splits=True requires the gaussian family (the "
+                "PCA + 2-means init is covariance-based); "
+                f"got family {family_name!r}"
+            )
         return bool(self.smart_splits)
 
     def resolved_auto_tier(self) -> bool:

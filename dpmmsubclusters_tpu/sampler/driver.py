@@ -146,22 +146,15 @@ class DPMMEngine:
             if self._smart_on else None
         )
 
-        def step_fn(table, labels, sublabels, key, points, valid, n_total,
-                    final, no_more_splits):
-            table, labels, sublabels, key, metrics = sweep(
-                table, labels, sublabels, key, points, valid, n_total,
-                final, no_more_splits,
-            )
-            if smart_fn is not None:
-                table, sublabels = smart_fn(
-                    table, labels, sublabels, points, valid
-                )
-            return table, labels, sublabels, key, metrics
-
+        # NOTE: the single-sweep program carries NO smart pass -- its
+        # ungated projection scans would cost ~2 ms EVERY sweep; the
+        # per-iteration (sync) loop instead uses the host-side
+        # smart_refresh probe, and the fused block runs the in-program
+        # pass once per block.
         dspec, rspec = P(DATA_AXIS), P()
         self._step = jax.jit(
             shard_map(
-                step_fn,
+                sweep,
                 mesh=self.mesh,
                 in_specs=(rspec, dspec, dspec, rspec, dspec, dspec,
                           rspec, rspec, rspec),
@@ -338,62 +331,22 @@ class DPMMEngine:
         return fn
 
     def _get_smart_refresh(self, d: int):
-        """Jitted block-boundary smart pass: 2-means sub-label init + a
-        statistics refresh for the slots MARKED ``needs_smart`` (set by
-        accepted splits), table-in/table-out; clears the marks.
-
-        Runs between fused blocks (run_loop), not inside the sweep -- a
-        lax.cond around the O(N * max_split_iter) Lloyd loop executes both
-        branches on XLA:TPU (measured +29 ms/sweep).  Only newborn slots
-        are touched, matching the reference's per-newborn
-        ``smart_cluster_init!`` (src/local_clusters_actions.jl:374-378) up
-        to a <= 1-block latency (newborns are burnout-gated anyway);
-        refreshing EVERY slot every block would clamp healthy sub-chains to
-        PCA bisections and measurably under-splits overlapping mixtures.
-        """
+        """Jitted standalone wrapper around the SAME in-program smart pass
+        the step/block programs embed (sweep.make_smart_pass) -- one
+        implementation, two entry points.  Used by the host-side probe
+        path (per-iteration sync loop, dryrun harness)."""
         fn = self._smart_refresh_cache.get(d)
         if fn is not None:
             return fn
         from jax.sharding import PartitionSpec as P
-        from . import smart as smart_mod
-        from .sweep import resolve_pallas
-        from .table import compute_posteriors
+        from .sweep import make_smart_pass
 
-        cfg, family, k_max, chunk = self.cfg, self.family, self.cfg.k_max, \
-            self.cfg.chunk_size
-        use_pallas, interpret = resolve_pallas(cfg)
-        x_is_features = bool(cfg.precompute_features)
+        smart_fn = make_smart_pass(self.family, self.cfg,
+                                   axis_name=DATA_AXIS)
         dspec, rspec = P(DATA_AXIS), P()
 
         def _refresh(table, points, valid, labels, sublabels):
-            raw = (
-                points[:, 1:1 + d].astype(jnp.float32)
-                if x_is_features else points
-            )
-            stats_w = jax.tree.map(lambda a: a[:, 0], table["stats"])
-            mask = (
-                table["needs_smart"] & table["active"]
-                & ~table["is_outlier"]
-            )
-            sub = smart_mod.smart_sublabels(
-                raw, valid, labels, sublabels, stats_w, mask,
-                cfg.max_split_iter, DATA_AXIS,
-            )
-            stats_lr = jax.lax.psum(
-                assign_mod.stats_only(
-                    points, valid, labels, sub, k_max, family, chunk,
-                    use_pallas=use_pallas, interpret=interpret,
-                    stats_precision=cfg.stats_precision,
-                    x_is_features=x_is_features,
-                ),
-                DATA_AXIS,
-            )
-            flat3 = assign_mod.lr_to_full(stats_lr)
-            stats = family.stats_from_flat(flat3, d)
-            table = compute_posteriors(family, {**table, "stats": stats})
-            table = {**table,
-                     "needs_smart": jnp.zeros_like(table["needs_smart"])}
-            return table, sub
+            return smart_fn(table, labels, sublabels, points, valid)
 
         fn = jax.jit(
             shard_map(
@@ -677,6 +630,10 @@ def run_loop(
         t0 = time.perf_counter()
         if migrator is not None:
             state, engine = tier_step(state, engine, k_now)
+        if it > first_iter and it < iters - cfg.split_stop:
+            # smart init of slots born last sweep (one-scalar probe; the
+            # per-iteration path already syncs every sweep)
+            state = engine.smart_refresh(state, points, valid)
         final = it >= iters - cfg.argmax_sample_stop
         no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)
         state, metrics = engine.step(

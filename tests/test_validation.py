@@ -70,11 +70,24 @@ def test_multinomial_prior_shape_raises():
     dict(outlier_mod=-0.1),
     dict(feature_dtype="float16"),
     dict(ll_precision="fp8"),
+    dict(ll_precision="split2"),     # a stats-only mode
+    dict(stats_precision="bf16"),    # not a stats mode ("default" is)
     dict(max_clusters=0),
 ])
 def test_config_rejects_bad_values(kw):
     with pytest.raises(ValueError, match="DPMMConfig"):
         DPMMConfig(**kw)
+
+
+def test_multinomial_smart_splits_raises():
+    """Explicit smart_splits=True with multinomial fails fast (the init is
+    covariance-PCA based); auto (None) resolves it off silently."""
+    x = np.random.default_rng(0).integers(0, 5, size=(256, 6)).astype(
+        np.float32)
+    with pytest.raises(ValueError, match="smart_splits"):
+        dpmm.fit(x, iters=2, verbose=False, family="multinomial",
+                 smart_splits=True)
+    assert DPMMConfig().resolved_smart_splits("multinomial") is False
 
 
 def test_reference_verbatim_preset():
