@@ -45,10 +45,14 @@ def _resolve_precompute(fam, cfg: DPMMConfig, n: int, d: int,
         # configured storage dtype (bf16 caches are half the bytes)
         f_dim = -(-fam.feature_dim(d) // 128) * 128
         n_local = _round_up(max(n, 1), n_dev * cfg.chunk_size) // n_dev
-        itemsize = jnp.dtype(cfg.feature_dtype).itemsize
+        if cfg.feature_dtype == "hybrid":
+            # bf16 cache + the raw f32 points stored alongside
+            per_row = f_dim * 2 + d * 4
+        else:
+            per_row = f_dim * jnp.dtype(cfg.feature_dtype).itemsize
         pf = (
             fam.name == "gaussian"
-            and n_local * f_dim * itemsize <= cfg.feature_cache_bytes
+            and n_local * per_row <= cfg.feature_cache_bytes
         )
     return cfg.replace(precompute_features=bool(pf))
 
@@ -803,7 +807,9 @@ def run_from_checkpoint(
         points = engine.featurize(
             points, seed=cfg.seed if cfg.seed is not None else 0
         )
-    n_pad = points.shape[0]
+    from .sampler.assign import points_rows
+
+    n_pad = points_rows(points)
 
     from .parallel.mesh import data_sharding, replicated
 

@@ -70,15 +70,22 @@ class DPMMConfig:
     # feature cache fits feature_cache_bytes.  Composes with smart splits
     # (the raw points are recovered from cache columns 1..D)
     feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
-    feature_dtype: str = "float32"  # storage dtype of the precomputed
-    # feature cache: "float32" or "bfloat16".  bf16 halves the sweep's HBM
-    # traffic AND collapses the stats split to a single exact MXU pass --
-    # measured 1.57x on the round-3 kernel -- but the
-    # ~2^-9 per-point rounding leaves ~0.1% rms noise on each cluster
-    # covariance, which nu_post ~ n_k amplifies into O(30)-nat noise on
-    # every split/merge Hastings ratio: the chain under-splits (fails the
-    # 200k x 32-d gate; benchmarks/results/stats_precision_r3.json).  Keep
-    # the default for FITTING; bf16 is for assignment-dominated serving.
+    feature_dtype: str = "hybrid"  # storage layout of the precomputed
+    # feature cache:
+    #   "hybrid"   (default) -- a bf16 [N, F] cache feeds ONLY the
+    #     likelihood matmul (whose bf16 logit noise is far below the Gumbel
+    #     sampling noise), while the statistics contraction rebuilds exact
+    #     f32 feature rows IN-KERNEL from the raw [N, D] points (stored
+    #     alongside, 128 B/pt at D=32 vs 2.2 KB/pt of f32 feature rows).
+    #     Per-sweep HBM traffic drops ~1.8x vs "float32" with NO statistical
+    #     cost: statistics keep their full f32/split precision.
+    #   "float32"  -- one f32 cache serves both uses (the round-4 layout).
+    #   "bfloat16" -- one bf16 cache serves both: halves traffic but the
+    #     ~2^-9 per-point rounding leaves ~0.1% rms noise on each cluster
+    #     covariance, which nu_post ~ n_k amplifies into O(30)-nat noise on
+    #     every split/merge Hastings ratio: the chain under-splits (fails
+    #     the 200k x 32-d gate; benchmarks/results/stats_precision_r3.json).
+    #     Serving/assignment-dominated workloads only.
     auto_tier: Optional[bool] = None  # adaptive table capacity: run at the
     # smallest tier (16, 32, ..., k_max) with >=4x split headroom over the
     # live cluster count, migrating between compiled tiers as K changes.
@@ -107,6 +114,13 @@ class DPMMConfig:
     # densities exceed 0) can never become splittable -- a reference bug
     # that caps K below the posterior optimum on such data.  Default False
     # = unbiased mean (see sampler/moves.py:sample_params_step).
+    resample_outlier_params: bool = True  # redraw the outlier component's
+    # distribution from its posterior every sweep, like every other active
+    # slot.  DOCUMENTED DIVERGENCE: the reference never resamples it --
+    # sample_clusters! skips slot 1 (src/local_clusters_actions.jl:425-427),
+    # so its likelihood column stays frozen at the init-posterior draw for
+    # the whole run.  False reproduces that verbatim (and is bundled into
+    # reference_verbatim()); see docs/design.md "Outlier component".
     exact_post_move_stats: bool = False  # reference-exact chain: after
     # bad-cluster resets and accepted splits, re-randomize the affected
     # points' sub-labels and recompute realized statistics with an O(N)
@@ -157,8 +171,8 @@ class DPMMConfig:
             _bad(f"outlier_mod must be in [0, 1), got {self.outlier_mod}")
         if self.max_clusters is not None and self.max_clusters < 1:
             _bad(f"max_clusters must be >= 1, got {self.max_clusters}")
-        if self.feature_dtype not in ("float32", "bfloat16"):
-            _bad(f"feature_dtype must be 'float32' or 'bfloat16', "
+        if self.feature_dtype not in ("float32", "bfloat16", "hybrid"):
+            _bad(f"feature_dtype must be 'float32', 'bfloat16' or 'hybrid', "
                  f"got {self.feature_dtype!r}")
         ll_allowed = ("default", "high", "highest", "bf16")
         if self.ll_precision not in ll_allowed:
@@ -182,7 +196,10 @@ class DPMMConfig:
           * ``exact_post_move_stats=True``      -- realized O(N) stats after
             splits/resets instead of their expectation;
           * ``smart_splits=False``              -- the reference default
-            (src/global_params.jl:43).
+            (src/global_params.jl:43);
+          * ``resample_outlier_params=False``   -- the outlier component's
+            distribution stays frozen at its init draw
+            (src/local_clusters_actions.jl:425-427).
 
         Keyword overrides apply on top (e.g. seed, iters).
         """
@@ -191,6 +208,7 @@ class DPMMConfig:
             standardize_data=False,
             exact_post_move_stats=True,
             smart_splits=False,
+            resample_outlier_params=False,
         )
         base.update(kw)
         return cls(**base)

@@ -170,9 +170,9 @@ def _stats_dot(ohs, feat, stats_prec):
     return acc
 
 
-def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref,
-            valid_ref, labels_ref, sub_ref, stats_ref, *, k_slots: int,
-            feat_fn, d: int, ll_prec, stats_prec):
+def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
+            feat_fn, d: int, ll_prec, stats_prec, direct_lr: bool,
+            hybrid: bool = False):
     """phi_ref carries [F, 2K] columns [whole K | DELTA K], where
     delta = phi_r - phi_l with log(lrw_r/lrw_l) folded into the constant
     feature's row (see assign._delta_phi).  The sub-label decision only
@@ -181,10 +181,29 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref,
     kernel collapse into K extra matmul columns + one one-hot contraction
     (measured: -2.7 ms/sweep at the flagship).
 
-    stats_ref rows are [WHOLE K | RIGHT K]; the caller reconstructs
-    left = whole - right (exact to accumulation order).  Splitting the old
-    [T, 2K] one-hot concat into two [T, K] dots drops one [T, K] multiply
-    and the concat materialization (-~1 ms/sweep)."""
+    stats_ref rows are [WHOLE K | RIGHT K] by default; the caller
+    reconstructs left = whole - right.  Counts stay exact, but the
+    subtraction leaves absolute rounding on the left sums at the WHOLE
+    cluster's magnitude -- for a tiny left sub-chain inside a large cluster
+    the relative error is amplified ~n_whole/n_left.  ``direct_lr``
+    (stats_precision="highest") therefore accumulates [LEFT K | RIGHT K]
+    directly (one extra [T, K] subtract), keeping the exactness escape
+    hatch.  Splitting the old [T, 2K] one-hot concat into two [T, K] dots
+    drops one [T, K] multiply and the concat materialization
+    (-~1 ms/sweep).
+
+    ``hybrid`` (feature_dtype="hybrid"): x_ref is the bf16 [T, F] feature
+    cache feeding ONLY the ll matmul, and an extra raw_ref carries the raw
+    f32 [T, D] points from which the statistics rows are rebuilt in-kernel
+    at full precision -- the DMA-roofline layout (1.3 KB/pt more than
+    halves the f32 cache's 2.6 KB/pt at D=32) with zero statistical cost."""
+    if hybrid:
+        (raw_ref, phi_ref, logw_ref, valid_ref, labels_ref, sub_ref,
+         stats_ref) = refs
+    else:
+        raw_ref = None
+        (phi_ref, logw_ref, valid_ref, labels_ref, sub_ref,
+         stats_ref) = refs
     i = pl.program_id(0)
     # per-tile seed: mix the host seed with the GLOBAL tile index
     # (tile_off = this shard's first tile; makes the per-point RNG stream a
@@ -255,8 +274,14 @@ def _kernel(seed_ref, hard_ref, x_ref, phi_ref, logw_ref,
     v = _stream_read(valid_ref, t)                               # [T, 1] f32
     ohv = oh * v                                                 # [T, K]
     ohr = ohv * side_f                                           # [T, K]
-    contrib_w = _stats_dot(ohv, feat, stats_prec)                # [K, F]
-    contrib_r = _stats_dot(ohr, feat, stats_prec)                # [K, F]
+    oha = ohv - ohr if direct_lr else ohv      # [LEFT|RIGHT] or [WHOLE|RIGHT]
+    if hybrid:
+        # exact f32 statistics rows rebuilt from the raw points (VPU work
+        # that overlaps the next tile's cache DMA); the bf16 cache never
+        # touches the statistics path
+        feat = _feature_tile(raw_ref[:], d)                      # [T, S] f32
+    contrib_w = _stats_dot(oha, feat, stats_prec)                # [K, S]
+    contrib_r = _stats_dot(ohr, feat, stats_prec)                # [K, S]
 
     @pl.when(i == 0)
     def _():
@@ -389,7 +414,7 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
 def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
                  k_slots: int, family_name: str, tile: int = 512,
                  interpret: bool = False, ll_precision: str = "highest",
-                 stats_precision: str = "highest", tile_off=0):
+                 stats_precision: str = "highest", tile_off=0, x_raw=None):
     """Fused assignment + statistics pass.
 
     Args:
@@ -407,7 +432,9 @@ def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
       hard:    i32 scalar; >0 = argmax labels (sub-labels always sampled).
 
     Returns (labels i32[N/128, 128], sublabels i32[N/128, 128],
-    stats f32[2K, F] with rows [WHOLE K | RIGHT K] -- left = whole - right).
+    stats f32[2K, F] with rows [WHOLE K | RIGHT K] -- left = whole - right
+    -- or [LEFT K | RIGHT K] when stats_precision="highest" (direct
+    accumulation; see _kernel's docstring).
     """
     n, d = x.shape
     f, twok = phi_mat.shape
@@ -415,53 +442,75 @@ def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
     assert n % tile == 0, (n, tile)
     assert valid.ndim == 2 and valid.shape[1] == LANES, valid.shape
     grid = n // tile
-    feat_fn = _FEAT_FNS[family_name]
+    hybrid = family_name == "hybrid"
+    if hybrid:
+        assert x_raw is not None and x_raw.shape[0] == n
+        d_raw = x_raw.shape[-1]
+        s_dim = 1 + d_raw + d_raw * (d_raw + 1) // 2  # exact f32 stat rows
+        feat_fn, kd = _identity_tile, d_raw
+    else:
+        assert x_raw is None
+        feat_fn, kd, s_dim = _FEAT_FNS[family_name], d, f
 
     kernel = functools.partial(
-        _kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
+        _kernel, k_slots=k_slots, feat_fn=feat_fn, d=kd,
         ll_prec=_PRECISIONS[ll_precision],
         stats_prec=_PRECISIONS[stats_precision],
+        direct_lr=(stats_precision == "highest"),
+        hybrid=hybrid,
     )
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # hard
+        pl.BlockSpec((tile, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),             # x / feat cache
+    ]
+    inputs = [
+        jnp.stack([jnp.asarray(seed, jnp.int32),
+                   jnp.asarray(tile_off, jnp.int32)]),
+        jnp.asarray(hard, jnp.int32).reshape(1),
+        x,
+    ]
+    if hybrid:
+        in_specs.append(
+            pl.BlockSpec((tile, d_raw), lambda i: (i, 0),
+                         memory_space=pltpu.VMEM)          # raw points
+        )
+        inputs.append(x_raw)
+    in_specs += [
+        pl.BlockSpec((f, twok), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),             # phi
+        pl.BlockSpec((1, k_slots), lambda i: (0, 0),
+                     memory_space=pltpu.VMEM),             # log_w
+        pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
+                     memory_space=pltpu.VMEM),             # valid
+    ]
+    inputs += [
+        phi_mat,
+        log_w.reshape(1, -1),
+        valid.astype(jnp.float32).reshape(grid, tile // LANES, LANES),
+    ]
     labels, sub, stats = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # hard
-            pl.BlockSpec((tile, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),             # x
-            pl.BlockSpec((f, twok), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),             # phi
-            pl.BlockSpec((1, k_slots), lambda i: (0, 0),
-                         memory_space=pltpu.VMEM),             # log_w
-            pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
-                         memory_space=pltpu.VMEM),             # valid
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # labels
             pl.BlockSpec((1, tile // LANES, LANES), lambda i: (i, 0, 0),
                          memory_space=pltpu.VMEM),             # sublabels
-            pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
+            pl.BlockSpec((2 * k_slots, s_dim), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),             # stats acc
         ],
         out_shape=[
             jax.ShapeDtypeStruct((grid, tile // LANES, LANES), jnp.float32),
             jax.ShapeDtypeStruct((grid, tile // LANES, LANES), jnp.float32),
-            jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32),
+            jax.ShapeDtypeStruct((2 * k_slots, s_dim), jnp.float32),
         ],
         # CPU testing runs the TPU interpreter (the generic interpreter has
         # no lowering for the pltpu PRNG primitives).
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(
-        jnp.stack([jnp.asarray(seed, jnp.int32),
-                   jnp.asarray(tile_off, jnp.int32)]),
-        jnp.asarray(hard, jnp.int32).reshape(1),
-        x,
-        phi_mat,
-        log_w.reshape(1, -1),
-        valid.astype(jnp.float32).reshape(grid, tile // LANES, LANES),
-    )
+    )(*inputs)
     # converts stay on lane-blocked 2-D shapes (layout-preserving)
     return (
         labels.reshape(n // LANES, LANES).astype(jnp.int32),

@@ -47,11 +47,40 @@ from .api import (FitResult, fit, fit_distributed, run_from_checkpoint,
 from .io.npy import load_data
 
 
+def _validate_params(params: dict, path: str, *, need_gt: bool = True):
+    """Fail fast on a malformed params file: require ``data_path`` and
+    reject unknown keys with a named error, mirroring DPMMConfig's
+    __post_init__ style (the reference silently accepts unused params-file
+    globals, src/global_params.jl:39 -- a misspelled knob there is a no-op)."""
+    import dataclasses
+
+    from .config import DPMMConfig
+
+    if "data_path" not in params:
+        raise ValueError(
+            f"params file {path!r}: missing required key 'data_path'"
+        )
+    allowed = {f.name for f in dataclasses.fields(DPMMConfig)} | {
+        "data_path", "data_transposed", "family", "alpha", "prior",
+        "outlier_prior", "gt_path",
+    }
+    unknown = sorted(set(params) - allowed)
+    if unknown:
+        raise ValueError(
+            f"params file {path!r}: unknown key(s) {unknown} "
+            f"(allowed: DPMMConfig fields plus data_path/data_transposed/"
+            f"family/alpha/prior/outlier_prior/gt_path)"
+        )
+    if not need_gt and "gt_path" in params:
+        params.pop("gt_path")
+
+
 def fit_from_params(path: str) -> FitResult:
     """Load a JSON params file and run ``fit`` (reference
     ``dp_parallel(model_params::String)``, src/dp-parallel-sampling.jl:317)."""
     with open(path) as f:
         params = json.load(f)
+    _validate_params(params, path)
 
     data = load_data(
         params.pop("data_path"),
@@ -84,6 +113,7 @@ def resume_from_params(ckpt: str, path: str, iters=None) -> FitResult:
     from the checkpointed config, overridable via --iters)."""
     with open(path) as f:
         params = json.load(f)
+    _validate_params(params, path)
     data = load_data(
         params.pop("data_path"),
         swapdims=bool(params.pop("data_transposed", False)),
@@ -116,8 +146,8 @@ def fit_from_params_distributed(path: str) -> FitResult:
     ``fit_distributed`` from the same JSON schema as single-host mode."""
     with open(path) as f:
         params = json.load(f)
-    x_local = _load_local_rows(params)
-    params.pop("gt_path", None)  # labels are per-process; NMI is offline
+    _validate_params(params, path, need_gt=False)  # labels are per-process;
+    x_local = _load_local_rows(params)             # NMI is offline
     prior = params.pop("prior", None)
     if prior is not None:
         prior = {k: np.asarray(v, np.float32) for k, v in prior.items()}
@@ -138,6 +168,7 @@ def resume_from_params_distributed(ckpt: str, path: str,
                                    iters=None) -> FitResult:
     with open(path) as f:
         params = json.load(f)
+    _validate_params(params, path, need_gt=False)
     x_local = _load_local_rows(params)
     return run_from_checkpoint_distributed(ckpt, x_local, iters=iters)
 

@@ -50,6 +50,23 @@ def unblock_stream(a):
     return a.reshape(-1)
 
 
+def points_rows(points) -> int:
+    """Global padded row count of a points container (array or the hybrid
+    {"feat", "raw"} dict)."""
+    return (points["raw"] if isinstance(points, dict) else points).shape[0]
+
+
+def raw_points(points, d: int, x_is_features: bool):
+    """Recover the raw [N, D] f32 points from any points container: the
+    hybrid dict stores them directly; a feature cache holds them in columns
+    1..D (rows are [1, x, ...])."""
+    if isinstance(points, dict):
+        return points["raw"]
+    if x_is_features:
+        return points[:, 1:1 + d].astype(jnp.float32)
+    return points
+
+
 def pad_features(feat):
     """Zero-pad the feature dim to a multiple of 128 (the TPU lane count).
 
@@ -125,19 +142,29 @@ def assign_and_stats(
             interpret, ll_precision, stats_precision, x_is_features,
             chunk_offset,
         )
+    # feature_dtype="hybrid": x is {"feat": bf16 [N, Fpad] cache (ll matmul
+    # only), "raw": f32 [N, D] points (exact statistics rows)}
+    hybrid = isinstance(x, dict)
+    x_ll = x["feat"] if hybrid else x
     k_slots = phi.shape[0]
     f = phi.shape[-1]
-    s = x.shape[-1] if x_is_features else family.stat_dim(x.shape[-1])
+    d_raw = x["raw"].shape[-1] if hybrid else x.shape[-1]
+    s = (
+        family.stat_dim(d_raw)
+        if (hybrid or not x_is_features) else x.shape[-1]
+    )
     phi_mat = phi.reshape(3 * k_slots, f).T  # [F, 3K]
     if x_is_features:
-        phi_mat = _pad_phi_rows(phi_mat, x.shape[-1])  # lane-padded cache
+        phi_mat = _pad_phi_rows(phi_mat, x_ll.shape[-1])  # lane-padded cache
 
-    xs = (_chunk(x, chunk), _chunk(unblock_stream(valid), chunk))
+    xs = (_chunk(x_ll, chunk), _chunk(unblock_stream(valid), chunk))
+    if hybrid:
+        xs = xs + (_chunk(x["raw"], chunk),)
     n_chunks = xs[0].shape[0]
 
     def body(carry, inp):
         acc, i = carry
-        xc, vc = inp
+        xc, vc = inp[:2]
         kc = jax.random.fold_in(key, jnp.int32(chunk_offset) + i)
         k1, k2 = jax.random.split(kc)
 
@@ -171,6 +198,10 @@ def assign_and_stats(
             * jax.nn.one_hot(sub, 2, dtype=jnp.float32)[:, None, :]
         ).reshape(xc.shape[0], 2 * k_slots)
         ohs = ohs * vc[:, None].astype(jnp.float32)
+        if hybrid:
+            # exact statistics rows rebuilt from the raw points; the bf16
+            # cache never feeds the statistics contraction
+            feat = family.stat_features(inp[2]).astype(jnp.float32)
         # full-f32 MXU accumulation: default (bf16) precision suffers
         # catastrophic cancellation in cov = E[xx] - mu mu^T downstream
         acc = acc + jnp.dot(
@@ -190,7 +221,8 @@ def assign_and_stats(
 
 
 def pick_tile(chunk: int, d: int, k_slots: int, f: int,
-              built_features: bool = True, feat_bytes: int = 4) -> int:
+              built_features: bool = True, feat_bytes: int = 4,
+              raw_d: int = 0) -> int:
     """Largest point-tile that divides ``chunk`` and fits the kernel's VMEM
     working set in budget.
 
@@ -204,6 +236,13 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int,
     budget = 12 * 1024 * 1024
     fixed = 4 * (f * 3 * k_slots + 2 * k_slots * f)  # phi + stats acc
     feat_mult = 4.5 if built_features else 2.0
+    # feature_dtype="hybrid" (raw_d > 0): ADD the raw-point input stream and
+    # the in-kernel f32 rebuild of the statistics rows (build temporaries +
+    # result, same ~4.5x model as the built-features case)
+    hybrid_row = 0.0
+    if raw_d:
+        s_dim = 1 + raw_d + raw_d * (raw_d + 1) // 2
+        hybrid_row = 4 * (2.0 * raw_d + 4.5 * s_dim)
     # tiles are multiples of 128: per-point scalar streams block as
     # [tile/128, 128] (full vector lanes, no tiling padding).  tile=1024 is
     # only offered to bf16 caches (feat_bytes=2): at f32 the VMEM model
@@ -214,7 +253,7 @@ def pick_tile(chunk: int, d: int, k_slots: int, f: int,
         if chunk % tile:
             continue
         per_row = (feat_bytes * (d + feat_mult * f)
-                   + 4 * (3 * k_slots + 4 * k_slots + 2))
+                   + 4 * (3 * k_slots + 4 * k_slots + 2) + hybrid_row)
         if fixed + tile * per_row <= budget:
             return tile
     return 128
@@ -242,15 +281,21 @@ def _assign_and_stats_pallas(
 ):
     """Dispatch the fused Pallas kernel (see ops/pallas_sweep.py) and adapt
     layouts: phi [K, 3, F] -> [F, 2K] whole/delta columns (_delta_phi);
-    stats [2K, F] rows [whole | right] -> [K, 2, S] (left = whole - right,
-    exact to accumulation order)."""
+    stats [2K, F] rows [whole | right] -> [K, 2, S] via left = whole - right
+    (counts exact; left SUMS carry absolute rounding at the whole cluster's
+    magnitude).  stats_precision="highest" keeps the exactness escape hatch:
+    the kernel then accumulates [left | right] directly."""
     from ..ops import pallas_sweep
 
+    hybrid = isinstance(x, dict)  # feature_dtype="hybrid": {"feat", "raw"}
+    x_ll = x["feat"] if hybrid else x
+    x_raw = x["raw"] if hybrid else None
     k_slots = phi.shape[0]
-    f = x.shape[-1] if x_is_features else phi.shape[-1]
-    tile = pick_tile(chunk, x.shape[-1], k_slots, f,
+    f = x_ll.shape[-1] if x_is_features else phi.shape[-1]
+    tile = pick_tile(chunk, x_ll.shape[-1], k_slots, f,
                      built_features=not x_is_features,
-                     feat_bytes=x.dtype.itemsize)
+                     feat_bytes=x_ll.dtype.itemsize,
+                     raw_d=(x_raw.shape[-1] if hybrid else 0))
     phi_mat = _delta_phi(phi, log_lrw)
     if x_is_features:
         phi_mat = _pad_phi_rows(phi_mat, f)  # lane-padded feature cache
@@ -259,18 +304,25 @@ def _assign_and_stats_pallas(
     # (seed, tile_off + program_id) so draws are mesh-layout-invariant
     tile_off = jnp.int32(chunk_offset) * (chunk // tile)
     labels, sub, stats2k = pallas_sweep.fused_assign(
-        seed, x, valid, phi_mat, log_w,
+        seed, x_ll, valid, phi_mat, log_w,
         hard.astype(jnp.int32),
         tile_off=tile_off,
         k_slots=k_slots,
-        family_name="precomputed" if x_is_features else family.name,
+        family_name=(
+            "hybrid" if hybrid
+            else ("precomputed" if x_is_features else family.name)
+        ),
         tile=tile,
         interpret=interpret,
         ll_precision=ll_precision,
         stats_precision=stats_precision,
+        x_raw=x_raw,
     )
     right = stats2k[k_slots:]
-    left = stats2k[:k_slots] - right
+    if stats_precision == "highest":
+        left = stats2k[:k_slots]           # direct [left | right] rows
+    else:
+        left = stats2k[:k_slots] - right   # [whole | right] rows
     stats_lr = jnp.stack([left, right], axis=1)
     return labels, sub, stats_lr
 
@@ -292,6 +344,10 @@ def stats_only(
     returning zeros -- the in-kernel replacement for wrapping the call in
     ``lax.cond``, which XLA:TPU flattens into execute-both-and-select.
     """
+    if isinstance(x, dict):
+        # feature_dtype="hybrid": statistics always come from the exact raw
+        # points -- the bf16 cache is never involved in this pass
+        x, x_is_features = x["raw"], False
     if use_pallas:
         from ..ops import pallas_sweep
 

@@ -297,10 +297,7 @@ class DPMMEngine:
         dspec, rspec = P(DATA_AXIS), P()
 
         def _smart(points, valid, labels, sublabels, flat3):
-            raw = (
-                points[:, 1:1 + d].astype(jnp.float32)
-                if x_is_features else points
-            )
+            raw = assign_mod.raw_points(points, d, x_is_features)
             stats = family.stats_from_flat(flat3, d)
             stats_w = jax.tree.map(lambda a: a[:, 0], stats)
             sub = smart_mod.smart_sublabels(
@@ -406,7 +403,10 @@ class DPMMEngine:
         if not hasattr(self, "_featurize"):
             from .assign import pad_features
 
-            dt = jnp.dtype(self.cfg.feature_dtype)
+            hybrid = self.cfg.feature_dtype == "hybrid"
+            dt = jnp.dtype(
+                jnp.bfloat16 if hybrid else self.cfg.feature_dtype
+            )
 
             def build(x, seed):
                 feat = pad_features(self.family.features(x))
@@ -429,8 +429,13 @@ class DPMMEngine:
                     ) & jnp.uint32(0xFFFF)
                     rounded = jax.lax.bitcast_convert_type(
                         (bits + r) & jnp.uint32(0xFFFF0000), jnp.float32
-                    )
-                    return rounded.astype(jnp.bfloat16)
+                    ).astype(jnp.bfloat16)
+                    if hybrid:
+                        # bf16 cache for the ll matmul + exact raw points
+                        # for in-kernel statistics rebuild (the
+                        # DMA-roofline layout; see config.feature_dtype)
+                        return {"feat": rounded, "raw": x}
+                    return rounded
                 return feat.astype(dt)
 
             self._featurize = jax.jit(
@@ -466,7 +471,7 @@ class DPMMEngine:
         empty), sub-labels uniform over {0, 1}.
         """
         cfg = self.cfg
-        n_pad, d = points.shape
+        n_pad = assign_mod.points_rows(points)
 
         key, kp, labels, sublabels = self._rand_assign(jnp.asarray(key), n_pad)
         if init_labels is not None:
@@ -630,9 +635,12 @@ def run_loop(
         t0 = time.perf_counter()
         if migrator is not None:
             state, engine = tier_step(state, engine, k_now)
-        if it > first_iter and it < iters - cfg.split_stop:
+        if it > first_iter and it <= iters - cfg.split_stop:
             # smart init of slots born last sweep (one-scalar probe; the
-            # per-iteration path already syncs every sweep)
+            # per-iteration path already syncs every sweep).  `<=` so a
+            # split accepted on the LAST split-eligible sweep still gets
+            # its smart init, matching the fused-block path (which runs
+            # the in-program pass after every block).
             state = engine.smart_refresh(state, points, valid)
         final = it >= iters - cfg.argmax_sample_stop
         no_more_splits = (it >= iters - cfg.split_stop) or (k_now >= max_k)

@@ -33,7 +33,8 @@ def _mask3(table):
 
 
 def sample_params_step(key, table, alpha: float, outlier_mod: float, family,
-                       reference_gate: bool = False):
+                       reference_gate: bool = False,
+                       freeze_outlier: bool = False):
     """Draw all cluster/sub-cluster distributions, lr-weights, global mixture
     weights; update the sub-likelihood history and splittable flags."""
     k = table["active"].shape[0]
@@ -47,6 +48,20 @@ def sample_params_step(key, table, alpha: float, outlier_mod: float, family,
 
     # distributions for (whole, l, r) of every slot, one batched draw
     params = family.sample_params(kp, table["post"], mask3, cache=cache)
+    if freeze_outlier:
+        # reference-verbatim quirk: sample_clusters! skips the outlier slot
+        # (src/local_clusters_actions.jl:425-427 `continue`), so its
+        # distribution stays frozen at whatever was drawn at init -- it is
+        # never re-sampled from the growing outlier posterior.  The default
+        # (False) resamples every active slot each sweep; see
+        # docs/design.md "Outlier component" for the A/B.
+        is_out = table["is_outlier"]
+        params = jax.tree.map(
+            lambda new, old: jnp.where(
+                is_out.reshape((k,) + (1,) * (new.ndim - 1)), old, new
+            ),
+            params, table["params"],
+        )
 
     # lr_weights ~ Dir(Nl + a/2, Nr + a/2)   (shared_actions.jl:41-52)
     n = table["stats"]["n"]  # [K, 3]
@@ -510,7 +525,13 @@ def _merge_move_impl(key, table, labels, sublabels, alpha: float, final,
         "lr_weights": lr_weights,
         "hist": hist,
         "splittable": splittable,
-        "needs_smart": table["needs_smart"] & active,
+        # clear marks on merge-TOUCHED slots too, not just deactivated
+        # losers: a slot that split earlier in a fused block and then wins a
+        # merge must keep the merge's informative winner/loser sub-label
+        # partition (the reference keeps the merged clusters as sub-clusters,
+        # shared_actions.jl:12-18), not get re-bisected by the block-end
+        # smart pass.
+        "needs_smart": table["needs_smart"] & active & ~touched,
     }
     table = compute_posteriors(family, table)
     return table, labels, sublabels

@@ -67,10 +67,7 @@ def make_smart_pass(family, cfg, axis_name: Optional[str] = None):
             table["needs_smart"] & table["active"] & ~table["is_outlier"]
         )
         any_mark = jnp.any(mask)
-        raw = (
-            points[:, 1:1 + d].astype(jnp.float32)
-            if x_is_features else points
-        )
+        raw = assign_mod.raw_points(points, d, x_is_features)
 
         def stats_refresh(table, sublabels, enable):
             stats_lr = assign_mod.stats_only(
@@ -209,12 +206,15 @@ def make_sweep(family, cfg, axis_name: Optional[str] = None):
         # on its global row -- the trajectory is invariant to mesh size
         # (bit-exact whenever the f32 stats reduction is, e.g. the 4-corner
         # gate; see tests/test_fit_e2e.py::test_single_device_matches_multi).
-        chunk_offset = dev * (points.shape[0] // chunk)
+        chunk_offset = dev * (assign_mod.points_rows(points) // chunk)
 
         # A + B: replicated parameter draws
         table = moves.sample_params_step(
             ka, table, alpha, outlier_mod, family,
             reference_gate=bool(cfg.reference_splittable_gate),
+            freeze_outlier=(
+                outlier_mod > 0 and not cfg.resample_outlier_params
+            ),
         )
 
         # C + D + E: fused assignment & statistics

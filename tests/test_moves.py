@@ -242,3 +242,34 @@ def test_merge_screened_matches_full_on_obvious_pair():
     l2 = np.asarray(l2)
     assert len(np.unique(l2[:200])) == 1
     assert np.all(l2[200:] == 2)
+
+
+def test_outlier_params_frozen_vs_resampled():
+    """Default: the outlier slot's distribution is redrawn from its posterior
+    every sweep like any other slot.  resample_outlier_params=False
+    (reference_verbatim) freezes it at the previous draw -- the reference's
+    sample_clusters! skips slot 1 (src/local_clusters_actions.jl:425-427)."""
+    (table, cfg) = _table_with_counts([(40, 40), (25, 25)])
+    table = {
+        **table,
+        "is_outlier": jnp.asarray([True] + [False] * 7),
+    }
+    k0 = jax.random.PRNGKey(7)
+    # populate params with an initial draw (the init-time sample_clusters!)
+    table = moves.sample_params_step(k0, table, 10.0, 0.05, GAUSSIAN)
+    phi0 = np.asarray(table["params"]["phi"])
+
+    frozen = moves.sample_params_step(
+        jax.random.PRNGKey(8), table, 10.0, 0.05, GAUSSIAN,
+        freeze_outlier=True,
+    )
+    phi_f = np.asarray(frozen["params"]["phi"])
+    np.testing.assert_array_equal(phi_f[0], phi0[0])     # outlier frozen
+    assert not np.allclose(phi_f[1], phi0[1])            # real slot redrawn
+
+    live = moves.sample_params_step(
+        jax.random.PRNGKey(8), table, 10.0, 0.05, GAUSSIAN,
+        freeze_outlier=False,
+    )
+    phi_l = np.asarray(live["params"]["phi"])
+    assert not np.allclose(phi_l[0], phi0[0])            # outlier redrawn

@@ -205,3 +205,45 @@ def test_bf16_feature_cache_hard_mode(rng):
     np.testing.assert_allclose(
         np.asarray(st2), np.asarray(st_chk), rtol=2e-3, atol=1e-2
     )
+
+
+def test_hybrid_feature_mode(rng):
+    """feature_dtype="hybrid": {bf16 cache -> ll matmul, raw f32 points ->
+    in-kernel exact statistics}.  Hard-mode labels must near-match the jnp
+    hybrid path (same bf16 planes; kernel ll is true bf16), and the kernel's
+    statistics must match an exact f32 contraction of the RAW points for
+    the kernel's own labels -- the whole point of the layout is that the
+    bf16 cache never contaminates the statistics."""
+    n, d, k = 512, 4, 8
+    x = jnp.asarray(rng.standard_normal((n, d)).astype(np.float32))
+    feat = A.pad_features(GAUSSIAN.features(x)).astype(jnp.bfloat16)
+    pts = {"feat": feat, "raw": x}
+    valid = A.block_stream(jnp.asarray(np.arange(n) < 500))
+    phi = _gaussian_phi(rng, k, d)
+    log_w = jnp.log(jnp.full((k,), 1.0 / k))
+    log_lrw = jnp.log(jnp.full((k, 2), 0.5))
+    key = jax.random.PRNGKey(5)
+    hard = jnp.asarray(True)
+    l1, _, _ = A.assign_and_stats(
+        key, pts, valid, phi, log_w, log_lrw, hard, GAUSSIAN, 128,
+        x_is_features=True,
+    )
+    l2, s2, st2 = A.assign_and_stats(
+        key, pts, valid, phi, log_w, log_lrw, hard, GAUSSIAN, 128,
+        use_pallas=True, interpret=True, x_is_features=True,
+        ll_precision="bf16", stats_precision="split2",
+    )
+    agree = (np.asarray(l1) == np.asarray(l2)).mean()
+    assert agree >= 0.98, agree
+    # kernel statistics == exact f32 stats of the raw points at its labels
+    st_exact = A.stats_only(
+        x, valid, l2, s2, k, GAUSSIAN, 128, stats_precision="highest",
+    )
+    np.testing.assert_allclose(
+        np.asarray(st2), np.asarray(st_exact), rtol=3e-5, atol=3e-4
+    )
+    # stats_only on the hybrid dict uses the raw plane (identical result)
+    st_dict = A.stats_only(
+        pts, valid, l2, s2, k, GAUSSIAN, 128, stats_precision="highest",
+    )
+    np.testing.assert_allclose(np.asarray(st_dict), np.asarray(st_exact))
