@@ -23,6 +23,8 @@ import numpy as np
 BASELINE_PTS_PER_S = 4.4e4
 
 SMALL = os.environ.get("BENCH_SMALL", "") not in ("", "0")
+# cache-layout override for A/B runs: float32 | bfloat16 | hybrid
+FDT = os.environ.get("BENCH_FDT", "") or None
 T0 = time.time()
 
 
@@ -67,7 +69,8 @@ def main():
     # NMI 1.0, same as 4*k_max, -0.5 ms/sweep of candidate Cholesky work)
     cfg = DPMMConfig(k_max=k_max, chunk_size=16384, burnout=5, alpha=10.0,
                      verbose=False, track_posterior=False,
-                     merge_candidates=k_max, precompute_features=True)
+                     merge_candidates=k_max, precompute_features=True,
+                     **({"feature_dtype": FDT} if FDT else {}))
     mesh = make_data_mesh()
     engine = DPMMEngine(GAUSSIAN, cfg, mesh)
     points, valid, n_total = engine.shard_points(x - x.mean(0))

@@ -70,16 +70,19 @@ class DPMMConfig:
     # feature cache fits feature_cache_bytes.  Composes with smart splits
     # (the raw points are recovered from cache columns 1..D)
     feature_cache_bytes: int = 4 << 30  # per-device budget for the cache
-    feature_dtype: str = "hybrid"  # storage layout of the precomputed
+    feature_dtype: str = "float32"  # storage layout of the precomputed
     # feature cache:
-    #   "hybrid"   (default) -- a bf16 [N, F] cache feeds ONLY the
-    #     likelihood matmul (whose bf16 logit noise is far below the Gumbel
-    #     sampling noise), while the statistics contraction rebuilds exact
-    #     f32 feature rows IN-KERNEL from the raw [N, D] points (stored
-    #     alongside, 128 B/pt at D=32 vs 2.2 KB/pt of f32 feature rows).
-    #     Per-sweep HBM traffic drops ~1.8x vs "float32" with NO statistical
-    #     cost: statistics keep their full f32/split precision.
-    #   "float32"  -- one f32 cache serves both uses (the round-4 layout).
+    #   "float32"  (default) -- one f32 cache serves both the likelihood
+    #     matmul and the statistics contraction.  Round-5 measurement: the
+    #     fused kernel is COMPUTE-bound, not DMA-bound (halving the input
+    #     stream saves only ~1.4 ms of 8.2 at the flagship), so cheaper
+    #     cache layouts buy little; see docs/perf.md "Roofline autopsy".
+    #   "hybrid"   -- a bf16 [N, F] cache feeds ONLY the likelihood matmul
+    #     (bf16 logit noise is far below the Gumbel sampling noise) while
+    #     the statistics contraction rebuilds exact f32 feature rows
+    #     in-kernel from the raw [N, D] points stored alongside.  45% less
+    #     cache memory + traffic at full statistical quality -- use when
+    #     HBM capacity is the constraint.
     #   "bfloat16" -- one bf16 cache serves both: halves traffic but the
     #     ~2^-9 per-point rounding leaves ~0.1% rms noise on each cluster
     #     covariance, which nu_post ~ n_k amplifies into O(30)-nat noise on

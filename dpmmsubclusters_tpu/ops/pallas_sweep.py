@@ -89,11 +89,100 @@ def _gumbel(seed_u32, shape):
 
 def _feature_tile(x, d: int):
     """[T, D] -> [T, 1 + D + D(D+1)/2] rows [1, x, packed(xx^T)] (triu
-    row-major), matching GaussianFamily.features."""
+    row-major), matching GaussianFamily.features.
+
+    NOTE: this ragged-concat form is the LEGACY build -- D narrowing-width
+    segments + a D+2-piece lane concat lower to relayout-heavy Mosaic
+    (measured ~19 ms/sweep at 1M x 32-d, benchmarks/hybrid_kernel_micro).
+    The kernels use :func:`_selector_feature_tile` instead; this stays as
+    the definition the selector build must match."""
     t = x.shape[0]
     ones = jnp.ones((t, 1), x.dtype)
     segs = [x[:, j : j + 1] * x[:, j:] for j in range(d)]
     return jnp.concatenate([ones, x] + segs, axis=1)
+
+
+import functools as _functools
+import numpy as _np
+
+
+@_functools.lru_cache(maxsize=16)
+def selector_constants(d: int, f_pad: int):
+    """Constant operands for the matmul feature build.
+
+    The Gaussian feature row [1, x, triu(xx^T)] is, columnwise, a product
+    of two AFFINE maps of x:  feat = (x @ A + a) * (x @ B + b):
+      col 0 (the literal 1):       A=0, a=1;  B=0, b=1
+      col 1..D (x_i):              A=e_i, a=0;  B=0, b=1
+      triu col (i, j):             A=e_i, B=e_j, a=b=0
+    Two MXU matmuls + one elementwise product replace the D ragged segment
+    concats of :func:`_feature_tile` -- the concat lowers to
+    relayout-heavy Mosaic vector code (~19 ms/sweep at 1M x 32-d vs ~1 ms
+    for the matmul form).  Selector entries are 0/1 (exact in bf16);
+    exactness of the gather comes from plane-splitting x, not the
+    selector.  The kernel contracts a single [T, 3D] array of bf16 planes
+    [hi | mid | lo] of x, so the selectors are stacked per plane: the A
+    operand is [A; A; A] (all 3 planes reassemble x exactly in the f32
+    accumulator) and the B operand is [B; B; 0] (hi + mid only, >= 16-bit
+    -- the same budget as the split2 statistics contraction); one packed
+    contraction keeps the MXU's 128-deep K dimension well fed, unlike D=32
+    per-plane dots (25% utilization, measured 3x slower).
+
+    Returns one stacked [6D + 2, f_pad] f32 array with rows
+    [A3 (3D) | a (1) | B3 (3D) | b (1)]; padding columns are all-zero, so
+    the padded features come out 0 * 0 = 0.
+    """
+    s = 1 + d + d * (d + 1) // 2
+    assert f_pad >= s
+    A = _np.zeros((d, f_pad), _np.float32)
+    B = _np.zeros((d, f_pad), _np.float32)
+    a = _np.zeros((1, f_pad), _np.float32)
+    b = _np.zeros((1, f_pad), _np.float32)
+    a[0, 0] = 1.0
+    b[0, 0] = 1.0
+    for i in range(d):
+        A[i, 1 + i] = 1.0
+        b[0, 1 + i] = 1.0
+    col = 1 + d
+    for i in range(d):
+        for j in range(i, d):
+            A[i, col] = 1.0
+            B[j, col] = 1.0
+            col += 1
+    assert col == s
+    zero = _np.zeros_like(B)
+    return _np.concatenate(
+        [A, A, A, a, B, B, zero, b], axis=0
+    )  # [6D + 2, f_pad]
+
+
+def _selector_feature_tile(x, ab_ref):
+    """Matmul feature build: feat = (x @ A + a) * (x @ B + b) with x
+    plane-split into [hi | mid | lo] bf16 (see selector_constants: the A
+    gather reassembles x exactly; the B gather to >= 16 bits)."""
+    d = x.shape[1]
+    ab = ab_ref[:]                       # [6D + 2, F]
+    A3 = ab[: 3 * d].astype(jnp.bfloat16)
+    arow = ab[3 * d]
+    B3 = ab[3 * d + 1 : 6 * d + 1].astype(jnp.bfloat16)
+    brow = ab[6 * d + 1]
+
+    p1 = x.astype(jnp.bfloat16)
+    r1 = x - p1.astype(jnp.float32)
+    p2 = r1.astype(jnp.bfloat16)
+    p3 = (r1 - p2.astype(jnp.float32)).astype(jnp.bfloat16)
+    planes = jnp.concatenate([p1, p2, p3], axis=1)       # [T, 3D] bf16
+
+    dims = (((1,), (0,)), ((), ()))
+    fa = jax.lax.dot_general(
+        planes, A3, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    ) + arow[None, :]
+    fb = jax.lax.dot_general(
+        planes, B3, dimension_numbers=dims,
+        preferred_element_type=jnp.float32,
+    ) + brow[None, :]
+    return fa * fb
 
 
 def _multinomial_feature_tile(x, d: int):
@@ -172,7 +261,7 @@ def _stats_dot(ohs, feat, stats_prec):
 
 def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
             feat_fn, d: int, ll_prec, stats_prec, direct_lr: bool,
-            hybrid: bool = False):
+            hybrid: bool = False, selector: bool = False):
     """phi_ref carries [F, 2K] columns [whole K | DELTA K], where
     delta = phi_r - phi_l with log(lrw_r/lrw_l) folded into the constant
     feature's row (see assign._delta_phi).  The sub-label decision only
@@ -197,13 +286,10 @@ def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
     f32 [T, D] points from which the statistics rows are rebuilt in-kernel
     at full precision -- the DMA-roofline layout (1.3 KB/pt more than
     halves the f32 cache's 2.6 KB/pt at D=32) with zero statistical cost."""
-    if hybrid:
-        (raw_ref, phi_ref, logw_ref, valid_ref, labels_ref, sub_ref,
-         stats_ref) = refs
-    else:
-        raw_ref = None
-        (phi_ref, logw_ref, valid_ref, labels_ref, sub_ref,
-         stats_ref) = refs
+    refs = list(refs)
+    sel_ref = refs.pop(0) if selector else None
+    raw_ref = refs.pop(0) if hybrid else None
+    phi_ref, logw_ref, valid_ref, labels_ref, sub_ref, stats_ref = refs
     i = pl.program_id(0)
     # per-tile seed: mix the host seed with the GLOBAL tile index
     # (tile_off = this shard's first tile; makes the per-point RNG stream a
@@ -215,7 +301,10 @@ def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
 
     x = x_ref[:]                      # [T, D]
     t = x.shape[0]
-    feat = feat_fn(x, d)              # [T, F]
+    if selector and not hybrid:
+        feat = _selector_feature_tile(x, sel_ref)   # [T, F], MXU build
+    else:
+        feat = feat_fn(x, d)          # [T, F]
 
     if ll_prec == "bf16" or feat.dtype == jnp.bfloat16:
         # explicit single-pass bf16 MXU matmul: Mosaic lowers f32-input
@@ -276,10 +365,10 @@ def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
     ohr = ohv * side_f                                           # [T, K]
     oha = ohv - ohr if direct_lr else ohv      # [LEFT|RIGHT] or [WHOLE|RIGHT]
     if hybrid:
-        # exact f32 statistics rows rebuilt from the raw points (VPU work
-        # that overlaps the next tile's cache DMA); the bf16 cache never
-        # touches the statistics path
-        feat = _feature_tile(raw_ref[:], d)                      # [T, S] f32
+        # near-exact statistics rows rebuilt from the raw points via the
+        # MXU selector build; the bf16 cache never touches the statistics
+        # path
+        feat = _selector_feature_tile(raw_ref[:], sel_ref)       # [T, S] f32
     contrib_w = _stats_dot(oha, feat, stats_prec)                # [K, S]
     contrib_r = _stats_dot(ohr, feat, stats_prec)                # [K, S]
 
@@ -294,8 +383,11 @@ def _kernel(seed_ref, hard_ref, x_ref, *refs, k_slots: int,
         stats_ref[k_slots:, :] = stats_ref[k_slots:, :] + contrib_r
 
 
-def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
-                  stats_ref, *, k_slots: int, feat_fn, d: int, stats_prec):
+def _stats_kernel(enable_ref, x_ref, *refs, k_slots: int, feat_fn, d: int,
+                  stats_prec, selector: bool = False):
+    refs = list(refs)
+    sel_ref = refs.pop(0) if selector else None
+    labels_ref, sub_ref, valid_ref, stats_ref = refs
     i = pl.program_id(0)
     enabled = enable_ref[0] > 0
 
@@ -307,7 +399,10 @@ def _stats_kernel(enable_ref, x_ref, labels_ref, sub_ref, valid_ref,
     def _():
         x = x_ref[:]
         t = x.shape[0]
-        feat = feat_fn(x, d)
+        feat = (
+            _selector_feature_tile(x, sel_ref) if selector
+            else feat_fn(x, d)
+        )
         labels = _stream_read(labels_ref, t)                     # [T, 1] f32
         # Mosaic requires integer iota ('tpu.iota' verifier) and cannot
         # legalize casts on lane-dim-1 vectors, so: int iota -> full-lane
@@ -368,9 +463,10 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     else:  # precomputed: the input rows are the feature rows
         f = d
 
+    selector = family_name == "gaussian"
     kernel = functools.partial(
         _stats_kernel, k_slots=k_slots, feat_fn=feat_fn, d=d,
-        stats_prec=_PRECISIONS[precision],
+        stats_prec=_PRECISIONS[precision], selector=selector,
     )
     if enable is None:
         enable_arr = jnp.ones((1,), jnp.int32)
@@ -379,30 +475,36 @@ def stats_from_labels(x, labels, sublabels, valid, *, k_slots: int,
     lt = tile // LANES
     stream = pl.BlockSpec((1, lt, LANES), lambda i: (i, 0, 0),
                           memory_space=pltpu.VMEM)
+    in_specs = [
+        pl.BlockSpec(memory_space=pltpu.SMEM),             # enable
+        pl.BlockSpec((tile, d), lambda i: (i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    inputs = [enable_arr, x]
+    if selector:
+        sel = selector_constants(d, f)
+        in_specs.append(
+            pl.BlockSpec(sel.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)          # selector consts
+        )
+        inputs.append(jnp.asarray(sel))
+    in_specs += [stream, stream, stream]
+    inputs += [
+        labels.astype(jnp.float32).reshape(grid, lt, LANES),   # blocked in
+        sublabels.astype(jnp.float32).reshape(grid, lt, LANES),
+        valid.astype(jnp.float32).reshape(grid, lt, LANES),
+    ]
     (stats,) = pl.pallas_call(
         kernel,
         grid=(grid,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.SMEM),             # enable
-            pl.BlockSpec((tile, d), lambda i: (i, 0),
-                         memory_space=pltpu.VMEM),
-            stream,
-            stream,
-            stream,
-        ],
+        in_specs=in_specs,
         out_specs=[
             pl.BlockSpec((2 * k_slots, f), lambda i: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_shape=[jax.ShapeDtypeStruct((2 * k_slots, f), jnp.float32)],
         interpret=pltpu.InterpretParams() if interpret else False,
-    )(
-        enable_arr,
-        x,
-        labels.astype(jnp.float32).reshape(grid, lt, LANES),   # blocked in
-        sublabels.astype(jnp.float32).reshape(grid, lt, LANES),
-        valid.astype(jnp.float32).reshape(grid, lt, LANES),
-    )
+    )(*inputs)
     return stats
 
 
@@ -443,21 +545,24 @@ def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
     assert valid.ndim == 2 and valid.shape[1] == LANES, valid.shape
     grid = n // tile
     hybrid = family_name == "hybrid"
+    selector = family_name in ("hybrid", "gaussian")
     if hybrid:
         assert x_raw is not None and x_raw.shape[0] == n
         d_raw = x_raw.shape[-1]
         s_dim = 1 + d_raw + d_raw * (d_raw + 1) // 2  # exact f32 stat rows
         feat_fn, kd = _identity_tile, d_raw
+        sel = selector_constants(d_raw, s_dim)
     else:
         assert x_raw is None
         feat_fn, kd, s_dim = _FEAT_FNS[family_name], d, f
+        sel = selector_constants(d, f) if selector else None
 
     kernel = functools.partial(
         _kernel, k_slots=k_slots, feat_fn=feat_fn, d=kd,
         ll_prec=_PRECISIONS[ll_precision],
         stats_prec=_PRECISIONS[stats_precision],
         direct_lr=(stats_precision == "highest"),
-        hybrid=hybrid,
+        hybrid=hybrid, selector=selector,
     )
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.SMEM),             # seed
@@ -471,6 +576,12 @@ def fused_assign(seed, x, valid, phi_mat, log_w, hard, *,
         jnp.asarray(hard, jnp.int32).reshape(1),
         x,
     ]
+    if selector:
+        in_specs.append(
+            pl.BlockSpec(sel.shape, lambda i: (0, 0),
+                         memory_space=pltpu.VMEM)          # selector consts
+        )
+        inputs.append(jnp.asarray(sel))
     if hybrid:
         in_specs.append(
             pl.BlockSpec((tile, d_raw), lambda i: (i, 0),

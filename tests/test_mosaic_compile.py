@@ -91,3 +91,26 @@ def test_gate_actually_detects_illegal_iota():
 
     with pytest.raises(Exception, match="tpu.iota|Verification"):
         _export_tpu(f, jnp.zeros((8, 128), jnp.float32))
+
+
+@pytest.mark.parametrize("d,fpad", [(32, 640), (2, 128)])
+@pytest.mark.parametrize("k_slots", [16, 128])
+def test_hybrid_fused_assign_compiles_for_tpu(d, fpad, k_slots):
+    """feature_dtype="hybrid": bf16 cache + raw f32 points, in-kernel f32
+    statistics rebuild."""
+    tile = 512
+    n = 4 * tile
+    feat = jnp.zeros((n, fpad), jnp.bfloat16)
+    raw = jnp.zeros((n, d), jnp.float32)
+    valid = jnp.ones((n // 128, 128), bool)
+    phi = jnp.zeros((fpad, 2 * k_slots), jnp.float32)
+    logw = jnp.zeros((k_slots,), jnp.float32)
+
+    def fn(feat, raw, valid, phi, logw):
+        return ps.fused_assign(
+            jnp.int32(0), feat, valid, phi, logw, jnp.int32(0),
+            k_slots=k_slots, family_name="hybrid", tile=tile,
+            ll_precision="bf16", stats_precision="split2", x_raw=raw,
+        )
+
+    _export_tpu(fn, feat, raw, valid, phi, logw)
