@@ -258,25 +258,78 @@ class DPMMModel:
 
     # -- prediction (reference predict / predict_points,
     #    src/dp-parallel-sampling.jl:532-537, local_clusters_actions.jl:23-40)
-    def predict(self, x: np.ndarray):
+    def predict(self, x: np.ndarray, return_probs: bool = True,
+                chunk: int = 1 << 16):
         """Posterior-predictive hard assignment of new points.
 
-        Returns (labels i32[N] dense 0-based, probs f32[N, K]).
+        Returns (labels i32[N] dense 0-based, probs f32[N, K]); with
+        ``return_probs=False`` probs is None (skips the [N, K] host
+        transfer -- the right call at 10M-point scale).
+
+        Unlike the reference's master-only ``predict_points``
+        (src/local_clusters_actions.jl:23-40), rows are SHARDED over the
+        device mesh and evaluated in ``chunk``-row tiles per device, so
+        the [N, K] matrix never materializes beyond one tile per device
+        and predict scales with the same mesh as fit.
         """
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh
+
         x = (np.asarray(x, np.float32) - self.shift) * self._scale
+        n = len(x)
         slots = self.active_slots
         post = jax.tree.map(
             lambda a: np.asarray(a)[slots, 0], self.table["post"]
         )
-        # one jitted program (eager per-op dispatch is slow on remote backends)
-        ll = np.asarray(
-            jax.jit(self.family.posterior_predictive)(jnp.asarray(x), post)
-        )  # [N, K]
         w = self.counts + self.cfg.alpha
-        logits = ll + np.log(w / w.sum())[None, :]
-        labels = np.argmax(logits, axis=-1).astype(np.int32)
-        z = np.exp(logits - logits.max(axis=-1, keepdims=True))
-        probs = (z / z.sum(axis=-1, keepdims=True)).astype(np.float32)
+        log_w = np.log(w / w.sum()).astype(np.float32)
+
+        mesh = make_data_mesh()
+        n_dev = int(np.prod(mesh.devices.shape))
+        chunk = max(128, min(chunk, _round_up(-(-n // n_dev), 128)))
+        n_pad = _round_up(n, n_dev * chunk)
+        xp = np.zeros((n_pad, x.shape[1]), np.float32)
+        xp[:n] = x
+        xdev = jax.device_put(xp, data_sharding(mesh))
+        family, ret_probs = self.family, bool(return_probs)
+
+        def _pred(xs, post, log_w):
+            def body(_, xc):
+                logits = family.posterior_predictive(xc, post) + log_w
+                lab = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                if ret_probs:
+                    z = jnp.exp(
+                        logits - logits.max(axis=-1, keepdims=True)
+                    )
+                    pr = (z / z.sum(axis=-1, keepdims=True)).astype(
+                        jnp.float32
+                    )
+                else:
+                    pr = jnp.zeros((xc.shape[0], 0), jnp.float32)
+                return None, (lab, pr)
+
+            _, (lab, pr) = jax.lax.scan(
+                body, None, xs.reshape((-1, chunk) + xs.shape[1:])
+            )
+            return lab.reshape(-1), pr.reshape(xs.shape[0], pr.shape[-1])
+
+        fn = jax.jit(shard_map(
+            _pred, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(), P()),
+            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
+            check_vma=False,
+        ))
+        lab_dev, pr_dev = fn(
+            xdev,
+            jax.tree.map(jnp.asarray, post),
+            jnp.asarray(log_w),
+        )
+        labels = np.asarray(jax.device_get(lab_dev))[:n]
+        probs = (
+            np.asarray(jax.device_get(pr_dev))[:n] if ret_probs else None
+        )
         return labels, probs
 
     def log_posterior(self) -> float:

@@ -592,11 +592,15 @@ def run_loop(
 
     # Per-iteration host syncs cost a full round trip on tunneled/remote
     # backends; only pay for them when something host-side actually consumes
-    # per-iteration values (verbose prints, NMI vs ground truth, or a user
-    # callback).  Otherwise run fused multi-sweep blocks -- one dispatch per
-    # `fused_block` sweeps -- and fetch the metric history at the end.
+    # per-iteration values (verbose prints or a user callback).  Otherwise
+    # run fused multi-sweep blocks -- one dispatch per `fused_block` sweeps
+    # -- and fetch the metric history at the end.  Ground truth alone does
+    # NOT force per-iteration syncs: NMI/VI are computed once per BLOCK
+    # from the already-resident label state (each history entry repeated
+    # for the block's iterations so lengths match hist.k), so long TPU
+    # runs report clustering quality without per-sweep round trips.
     # (max_clusters is enforced in-scan inside the fused block.)
-    sync_each = verbose or gt is not None or callback is not None
+    sync_each = verbose or callback is not None
 
     if not sync_each:
         block = max(1, cfg.fused_block)
@@ -613,6 +617,15 @@ def run_loop(
             )
             metrics_buf.append(metrics)
             it += b
+            if gt is not None:
+                # block-boundary quality metrics (one labels fetch/block)
+                from ..utils.metrics import nmi as nmi_fn, varinfo
+
+                labels_h = np.asarray(
+                    jax.device_get(state.labels)
+                ).reshape(-1)[:n_valid]
+                hist.nmi.extend([nmi_fn(gt, labels_h)] * b)
+                hist.vi.extend([varinfo(gt, labels_h)] * b)
             if migrator is not None and it < iters:
                 # one-scalar host sync per block; tier the next block
                 # (the smart sub-label pass runs INSIDE the block program)

@@ -216,3 +216,35 @@ def test_precomputed_features_matches_quality():
                     burnout=5, precompute_features=False)
     assert res2.k == res.k
     assert np.array_equal(res2.labels, res.labels)
+
+
+def test_sharded_predict_matches_host_path():
+    """predict shards rows over the mesh in chunked tiles; the result must
+    equal a direct host-side posterior-predictive argmax (and padding rows
+    must not leak into the returned slice)."""
+    import jax
+    import jax.numpy as jnp
+
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=60, seed=9, verbose=False, burnout=5)
+    m = res.model
+    # small chunk forces multiple scan tiles AND row padding
+    lab, probs = m.predict(x, chunk=128)
+    lab2, probs2 = m.predict(x, chunk=128, return_probs=False)
+    assert probs2 is None
+    np.testing.assert_array_equal(lab, lab2)
+
+    # host reference: direct posterior predictive + count weights
+    xs = (x - m.shift) * (m.scale if m.scale is not None else 1.0)
+    slots = m.active_slots
+    post = jax.tree.map(
+        lambda a: np.asarray(a)[slots, 0], m.table["post"]
+    )
+    ll = np.asarray(m.family.posterior_predictive(jnp.asarray(xs), post))
+    w = m.counts + m.cfg.alpha
+    logits = ll + np.log(w / w.sum())[None, :]
+    np.testing.assert_array_equal(lab, np.argmax(logits, axis=-1))
+    z = np.exp(logits - logits.max(axis=-1, keepdims=True))
+    np.testing.assert_allclose(
+        probs, z / z.sum(axis=-1, keepdims=True), rtol=2e-4, atol=2e-5
+    )

@@ -318,3 +318,107 @@ def test_screened_merge_matches_full_on_decisive_pairs():
         else:
             np.testing.assert_array_equal(full[0, 2], scr[0, 2])
             np.testing.assert_array_equal(full[1, 2], scr[1, 2])
+
+
+def test_forced_merge_tail_at_scale():
+    """Mid-scale forced-merge fixture (VERDICT r4 #9): 50 clusters arranged
+    as 25 near-duplicate pairs.  On a FINAL sweep the reference rule
+    (src/shared_actions.jl:35: final && log_HR > log 0.1) must merge
+    exactly the pairs whose independent-f64 log_HR clears log 0.1 --
+    explaining Sintel-style final-sweep K collapses by the math, not by
+    suspicion.  Cross-pair ratios are hugely negative (wide separation),
+    so the accepted set is deterministic despite the MH uniforms."""
+    import math as _math
+
+    from dpmmsubclusters_tpu.config import DPMMConfig
+    from dpmmsubclusters_tpu.priors import GAUSSIAN as G
+    from dpmmsubclusters_tpu.sampler.table import init_table
+
+    rng = np.random.default_rng(11)
+    d, k_pairs, per = 2, 25, 30
+    k_max = 64
+    # pair centers far apart; within a pair, two half-clusters of one
+    # tight Gaussian shifted by t (log_HR > log 0.1 -> forced merge)
+    centers = rng.uniform(-200, 200, (k_pairs, d))
+    t = 0.4
+    pts = {}
+    for p in range(k_pairs):
+        base = rng.standard_normal((per, d)) * 0.3 + centers[p]
+        pts[2 * p] = base
+        pts[2 * p + 1] = (rng.standard_normal((per, d)) * 0.3
+                          + centers[p] + np.array([t, 0.0]))
+
+    # f64 oracle log_HR per in-pair (the only candidates within reach)
+    def lm64(P):
+        n_, sx, sxx = float(len(P)), P.sum(0), P.T @ P
+        return _log_marginal_f64(n_, sx, sxx)
+
+    forced = []
+    for p in range(k_pairs):
+        a_, b_ = pts[2 * p], pts[2 * p + 1]
+        m_ = np.concatenate([a_, b_])
+        log_hr = (
+            -_math.log(ALPHA)
+            + sp_gammaln(ALPHA) - 2 * sp_gammaln(ALPHA / 2)
+            + sp_gammaln(2.0 * per) - sp_gammaln(2.0 * per + ALPHA)
+            + sp_gammaln(per + ALPHA / 2) - sp_gammaln(float(per))
+            + sp_gammaln(per + ALPHA / 2) - sp_gammaln(float(per))
+            + lm64(m_) - lm64(a_) - lm64(b_)
+        )
+        # construction guard: decisively inside the forced window
+        assert log_hr > _math.log(0.1) + 0.5 or log_hr < _math.log(0.1) - 0.5
+        forced.append(log_hr > _math.log(0.1))
+    n_forced = sum(forced)
+    assert n_forced >= 20  # fixture sanity: most pairs are near-duplicates
+
+    # build the padded table with these 50 clusters
+    cfg = DPMMConfig(k_max=k_max, burnout=4)
+    prior = {"kappa": jnp.asarray(1.0, jnp.float32),
+             "m": jnp.zeros((d,), jnp.float32),
+             "nu": jnp.asarray(5.0, jnp.float32),
+             "psi": jnp.eye(d, dtype=jnp.float32)}
+    table = init_table(G, prior, None, cfg, d)
+    n_arr = np.zeros((k_max, 3), np.float32)
+    sx = np.zeros((k_max, 3, d), np.float32)
+    sxx = np.zeros((k_max, 3, d, d), np.float32)
+    lab_list = []
+    for i in range(2 * k_pairs):
+        P = pts[i]
+        h = len(P) // 2
+        for side, Q in ((1, P[:h]), (2, P[h:])):
+            n_arr[i, side] = len(Q)
+            sx[i, side] = Q.sum(0)
+            sxx[i, side] = Q.T @ Q
+        n_arr[i, 0] = len(P)
+        sx[i, 0] = P.sum(0)
+        sxx[i, 0] = P.T @ P
+        lab_list += [i] * len(P)
+    active = np.arange(k_max) < 2 * k_pairs
+    stats = {"n": jnp.asarray(n_arr), "sum_x": jnp.asarray(sx),
+             "sum_xx": jnp.asarray(sxx)}
+    table = compute_posteriors(
+        G, {**table, "active": jnp.asarray(active), "stats": stats}
+    )
+    table = {**table, "splittable": jnp.asarray(active)}
+    table = moves.sample_params_step(
+        jax.random.PRNGKey(3), table, ALPHA, 0.0, G
+    )
+
+    labels = jnp.asarray(np.array(lab_list, np.int32))
+    sublabels = jnp.zeros_like(labels)
+    lm_w = _lm3(table)[:, 0]
+    t2, l2, s2 = moves.merge_move(
+        jax.random.PRNGKey(5), table, labels, sublabels, ALPHA,
+        jnp.asarray(True), G, lm_w=lm_w,
+    )
+    k_after = int(np.asarray(t2["active"]).sum())
+    assert k_after == 2 * k_pairs - n_forced, (k_after, n_forced)
+    # every forced pair collapsed onto its smaller slot id; others intact
+    l2 = np.asarray(l2)
+    for p in range(k_pairs):
+        pair_rows = np.asarray(labels) // 2 == p
+        got = set(np.unique(l2[pair_rows]).tolist())
+        if forced[p]:
+            assert got == {2 * p}, (p, got)
+        else:
+            assert got == {2 * p, 2 * p + 1}, (p, got)
