@@ -605,8 +605,10 @@ def run_loop(
     if not sync_each:
         block = max(1, cfg.fused_block)
         metrics_buf = []
+        block_times = []  # (duration_s, n_sweeps) per FENCED block
         it = first_iter
         t_start = time.perf_counter()
+        t_block = t_start
         while it < iters:
             b = min(block, iters - it)
             rng_it = np.arange(it, it + b)
@@ -617,6 +619,7 @@ def run_loop(
             )
             metrics_buf.append(metrics)
             it += b
+            fenced = False
             if gt is not None:
                 # block-boundary quality metrics (one labels fetch/block)
                 from ..utils.metrics import nmi as nmi_fn, varinfo
@@ -626,19 +629,37 @@ def run_loop(
                 ).reshape(-1)[:n_valid]
                 hist.nmi.extend([nmi_fn(gt, labels_h)] * b)
                 hist.vi.extend([varinfo(gt, labels_h)] * b)
+                fenced = True
             if migrator is not None and it < iters:
                 # one-scalar host sync per block; tier the next block
                 # (the smart sub-label pass runs INSIDE the block program)
                 k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
                 state, engine = tier_step(state, engine, k_now)
-        # The device_get below is the ONE fence for every dispatched block,
-        # so per-sweep wall time is only honest as the fenced mean: timing
-        # each dispatch individually would measure enqueue latency, not
-        # sweep cost (async dispatch).  hist.times is that mean, repeated.
+                fenced = True
+            if fenced:
+                now = time.perf_counter()
+                block_times.append((now - t_block, b))
+                t_block = now
+        # hist.times in fused mode: when each block is already FENCED by a
+        # host consumer (the tier probe or block NMI), per-block wall times
+        # are real and recorded per block -- so medians over the tail
+        # exclude compile/migration outliers (the round-4 image-seg
+        # artifact's "258 ms/iter" was (loop + 5 tier compiles)/iters: a
+        # compile-accounting artifact, not sweep cost).  With no per-block
+        # fence the only honest number is the fenced loop mean, repeated
+        # (timing async dispatches individually measures enqueue latency).
         fetched = jax.device_get(metrics_buf)
         n_done = iters - first_iter
-        mean_t = (time.perf_counter() - t_start) / max(n_done, 1)
-        hist.times.extend([mean_t] * n_done)
+        if len(block_times) >= max(1, (n_done // block) - 1):
+            for dt_b, b in block_times:
+                hist.times.extend([dt_b / b] * b)
+            hist.times.extend(
+                [hist.times[-1] if hist.times else 0.0]
+                * (n_done - len(hist.times))
+            )
+        else:
+            mean_t = (time.perf_counter() - t_start) / max(n_done, 1)
+            hist.times.extend([mean_t] * n_done)
         for m in fetched:
             hist.k.extend(np.asarray(m["k"]).tolist())
             hist.log_posterior.extend(np.asarray(m["log_posterior"]).tolist())
