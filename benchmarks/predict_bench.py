@@ -53,25 +53,30 @@ def main():
     print(f"grown to K={k_now}", file=sys.stderr, flush=True)
 
     model = _model_from_state(GAUSSIAN, cfg, state, shift, n)
+    # release the fit's device buffers: predict device_puts its own padded
+    # copy of the rows, and 2x 2.56 GB + a [10M, K] probs block would OOM
+    # the single chip
+    del state, points, valid, n_total, metrics
 
     # labels-only predict over ALL 10M rows (no [N, K] host transfer)
     t0 = time.perf_counter()
     lab_pred, _ = model.predict(x, return_probs=False)
     t_label = time.perf_counter() - t0
     nmi = float(dpmm.nmi(lab, lab_pred))
-    # with the [N, K] probability transfer
+    # the [N, K] probability path at 1M rows (a [10M, K] probs block is
+    # ~4 GB and pointless to materialize host-side)
     t0 = time.perf_counter()
-    lab2, probs = model.predict(x)
+    lab2, probs = model.predict(x[:1_000_000])
     t_probs = time.perf_counter() - t0
-    assert np.array_equal(lab_pred, lab2)
+    assert np.array_equal(lab_pred[:1_000_000], lab2)
 
     out = {
         "workload": "predict_10M",
         "n": n, "d": d, "k_live": k_now,
         "predict_labels_s": round(t_label, 2),
         "predict_labels_pts_per_s": round(n / t_label, 0),
-        "predict_with_probs_s": round(t_probs, 2),
-        "probs_shape": list(probs.shape),
+        "predict_with_probs_1M_s": round(t_probs, 2),
+        "probs_shape_1M": list(probs.shape),
         "nmi_vs_truth": round(nmi, 4),
         "note": "mesh-sharded chunked-scan predict incl. h2d of the raw "
                 "rows + compile; reference predict_points is master-only",
