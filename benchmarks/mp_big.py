@@ -90,7 +90,7 @@ def main():
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4_000_000
     d = int(sys.argv[2]) if len(sys.argv) > 2 else 32
     k_true = int(sys.argv[3]) if len(sys.argv) > 3 else 40
-    iters, ckpt_at, k_max = 24, 12, 64
+    iters, ckpt_at, k_max = 40, 20, 64
 
     with tempfile.TemporaryDirectory() as tmp:
         def render(src):

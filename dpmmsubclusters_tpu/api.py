@@ -235,7 +235,8 @@ class DPMMModel:
         de-centered)."""
         out = []
         shift, s = self.shift, self._scale
-        for slot in self.active_slots:
+        weights = self.weights  # dense order, aligned with active_slots
+        for dense_i, slot in enumerate(self.active_slots):
             post = {
                 k: np.asarray(v)[slot, 0]
                 for k, v in self.table["post"].items()
@@ -252,7 +253,7 @@ class DPMMModel:
             else:
                 params = self.table["params"]
                 entry["log_p"] = np.asarray(params["log_p"])[slot, 0]
-            entry["weight"] = self.weights[list(self.active_slots).index(slot)]
+            entry["weight"] = weights[dense_i]
             out.append(entry)
         return out
 
@@ -346,33 +347,75 @@ class DPMMModel:
             np.log(self._scale).sum()
         )
 
-    def cluster_statistics(self, x: np.ndarray, labels: np.ndarray):
+    def cluster_statistics(self, x: np.ndarray, labels: np.ndarray,
+                           chunk: int = 1 << 16):
         """Average per-cluster log-likelihood and responsibility of ``x``
         under the *sampled* cluster distributions (reference
         ``cluster_statistics``, src/dp-parallel-sampling.jl:509-530 -- with
         the correct Gaussian normalizer, see SURVEY.md L2 bug note).
         Log-likelihoods are reported in the original data space (the
-        standardized-space values shift by the constant sum(log scale))."""
+        standardized-space values shift by the constant sum(log scale)).
+
+        Rows are sharded over the device mesh and reduced in chunked
+        tiles (like :meth:`predict`): the [N, K] matrix never
+        materializes, so this works at 10M-point scale."""
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from .parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh
+
         x = (np.asarray(x, np.float32) - self.shift) * self._scale
+        n = len(x)
         slots = self.active_slots
+        k = len(slots)
         phi = np.asarray(self.table["params"]["phi"])[slots, 0]
-        ll = np.asarray(
-            jax.jit(lambda xs, ph: self.family.features(xs) @ ph.T)(
-                jnp.asarray(x), jnp.asarray(phi)
+
+        mesh = make_data_mesh()
+        n_dev = int(np.prod(mesh.devices.shape))
+        chunk = max(128, min(chunk, _round_up(-(-n // n_dev), 128)))
+        n_pad = _round_up(n, n_dev * chunk)
+        xp = np.zeros((n_pad, x.shape[1]), np.float32)
+        xp[:n] = x
+        labp = np.full((n_pad,), -1, np.int32)
+        labp[:n] = np.asarray(labels, np.int32)
+        xdev = jax.device_put(xp, data_sharding(mesh))
+        ldev = jax.device_put(labp, data_sharding(mesh))
+        family = self.family
+
+        def _stats(xs, ls, ph):
+            def body(acc, inp):
+                xc, lc = inp
+                ll = family.features(xc) @ ph.T          # [C, K]
+                z = jnp.exp(ll - ll.max(axis=-1, keepdims=True))
+                resp = z / z.sum(axis=-1, keepdims=True)
+                oh = jax.nn.one_hot(lc, k, dtype=jnp.float32)  # -1 -> 0s
+                return (
+                    acc[0] + jnp.sum(oh * ll, axis=0),
+                    acc[1] + jnp.sum(oh * resp, axis=0),
+                    acc[2] + jnp.sum(oh, axis=0),
+                ), None
+
+            acc0 = (jnp.zeros((k,)), jnp.zeros((k,)), jnp.zeros((k,)))
+            (s_ll, s_resp, cnt), _ = jax.lax.scan(
+                body, acc0,
+                (xs.reshape((-1, chunk) + xs.shape[1:]),
+                 ls.reshape(-1, chunk)),
             )
-        )  # [N, K]
+            return jax.lax.psum(
+                jnp.stack([s_ll, s_resp, cnt]), DATA_AXIS
+            )
+
+        out = jax.jit(shard_map(
+            _stats, mesh=mesh,
+            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+            out_specs=P(),
+            check_vma=False,
+        ))(xdev, ldev, jnp.asarray(phi))
+        s_ll, s_resp, cnt = np.asarray(jax.device_get(out), np.float64)
+        cnt = np.maximum(cnt, 1.0)
         # density change of variables back to data space: p_data = p' * |s|
-        ll = ll + float(np.log(self._scale).sum())
-        z = np.exp(ll - ll.max(axis=-1, keepdims=True))
-        resp = z / z.sum(axis=-1, keepdims=True)
-        labels = np.asarray(labels)
-        avg_ll = np.zeros(len(slots))
-        avg_prob = np.zeros(len(slots))
-        for i in range(len(slots)):
-            m = labels == i
-            c = max(m.sum(), 1)
-            avg_ll[i] = ll[m, i].sum() / c
-            avg_prob[i] = resp[m, i].sum() / c
+        avg_ll = s_ll / cnt + float(np.log(self._scale).sum())
+        avg_prob = s_resp / cnt
         return avg_ll, avg_prob
 
     # -- persistence ----------------------------------------------------------
