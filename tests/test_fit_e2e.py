@@ -248,3 +248,20 @@ def test_sharded_predict_matches_host_path():
     np.testing.assert_allclose(
         probs, z / z.sum(axis=-1, keepdims=True), rtol=2e-4, atol=2e-5
     )
+
+
+def test_fused_mode_block_nmi_history():
+    """gt= no longer forces the per-sweep sync loop: fused blocks compute
+    NMI/VI once per block from resident labels, repeated per sweep so the
+    history aligns with hist.k (VERDICT r4 #6)."""
+    x, gt = four_corners(400)
+    res = dpmm.fit(x, alpha=100.0, iters=40, seed=4, verbose=False,
+                   burnout=5, gt=gt, fused_block=8)
+    h = res.history
+    assert len(h.nmi) == 40 and len(h.vi) == 40 and len(h.k) == 40
+    # converged corners: final blocks at NMI 1.0
+    assert h.nmi[-1] > 0.999
+    # block granularity: values constant within each 8-sweep block
+    for b in range(40 // 8):
+        blk = h.nmi[b * 8:(b + 1) * 8]
+        assert len(set(blk)) == 1
