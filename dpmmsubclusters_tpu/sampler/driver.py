@@ -404,6 +404,12 @@ class DPMMEngine:
             from .assign import pad_features
 
             hybrid = self.cfg.feature_dtype == "hybrid"
+            if hybrid and self.family.name != "gaussian":
+                raise ValueError(
+                    "feature_dtype='hybrid' requires the gaussian family "
+                    "(the in-kernel statistics rebuild is the Gaussian "
+                    f"selector build); got family {self.family.name!r}"
+                )
             dt = jnp.dtype(
                 jnp.bfloat16 if hybrid else self.cfg.feature_dtype
             )
