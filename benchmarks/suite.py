@@ -63,14 +63,15 @@ def main(which):
         # reference getting_started benchmark: 1.068 s total
         x, gt, _, _ = dpmm.generate_gaussian_data(10_000, 2, 6, 100.0, seed=0)
         run_config("2d_gaussian_10k", dict(alpha=10.0, iters=100, seed=1,
-                                           k_max=32), x, gt)
+                                           burnout=10, k_max=32), x, gt)
+        # burnout=10 = the reference showcase recipe (getting_started.md:31-37)
 
     if "mnm" in which:
         x, gt, _ = dpmm.generate_mnmm_data(50_000, 100, 10, 120, seed=0)
         run_config(
             "multinomial_50k_d100",
             dict(alpha=1.0, iters=100, seed=1, family="multinomial",
-                 k_max=32),
+                 burnout=10, k_max=32),
             x, gt,
         )
 
