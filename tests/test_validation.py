@@ -160,3 +160,24 @@ def test_fit_large_offset_standardization():
     scale = res.model._scale
     # effective scale ~ 1/sd = ~100, nowhere near the clamp value 1
     assert np.all(scale > 10.0), scale
+
+
+def test_params_file_schema_validated(tmp_path):
+    """Params files fail fast with named errors on unknown keys or a
+    missing data_path (the reference silently ignores unused params-file
+    globals, src/global_params.jl:39 -- a misspelled knob is a no-op)."""
+    import json
+
+    import numpy as np
+
+    from dpmmsubclusters_tpu.run import fit_from_params
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"data_path": "x.npy", "alhpa": 10.0}))
+    with pytest.raises(ValueError, match="unknown key.*alhpa"):
+        fit_from_params(str(bad))
+
+    nodata = tmp_path / "nodata.json"
+    nodata.write_text(json.dumps({"alpha": 10.0}))
+    with pytest.raises(ValueError, match="data_path"):
+        fit_from_params(str(nodata))
