@@ -140,6 +140,12 @@ def run_real(path: str, iters: int, out_dir: str, seed: int = 0,
                      "-1.61e6 (dpgmm-superpixels.ipynb outputs); its "
                      "biased splittable gate freezes tight clusters -- see "
                      "docs/design.md 'splittable-gate fix'",
+        "forced_merge_note": "the final-sweep K collapse is the "
+                             "reference's forced-merge rule (final && "
+                             "log_HR > log 0.1, shared_actions.jl:35), "
+                             "pinned at 50-cluster scale against f64 "
+                             "oracle ratios by tests/test_golden_mh.py::"
+                             "test_forced_merge_tail_at_scale",
     }
     res_path = os.path.join(out_dir, f"image_seg_real{suffix}.json")
     with open(res_path, "w") as f:
