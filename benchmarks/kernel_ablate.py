@@ -1,5 +1,12 @@
 """Stage-by-stage ablation of the fused kernel (where do the ms go?).
 
+HISTORICAL INSTRUMENT (round 3): this keeps a local copy of the
+round-3 kernel layout ([F, 3K] columns, separate l/r sub-logits) so
+its recorded numbers stay reproducible.  The CURRENT kernel layout
+([whole | delta] columns, selector feature build, hybrid cache) is
+measured by benchmarks/hybrid_kernel_micro.py (in-jit chained scan,
+immune to tunnel dispatch artifacts).
+
 Local copy of ops/pallas_sweep._kernel with stages gated by static flags;
 cumulative timings attribute the wall time between the MXU matmuls and the
 VPU/layout stages (Gumbel PRNG, one-hot, sub-label pick, stream writes).
