@@ -96,7 +96,7 @@ def _make_config(name, data_seed=0):
                                  "psi": [[500.0, 0.0], [0.0, 500.0]]})
         gates = {"nmi_min": 0.90, "gate_frac": 0.90}
     elif name == "flagship":
-        rng = np.random.default_rng(0)
+        rng = np.random.default_rng(data_seed)
         means = rng.standard_normal((64, 32)).astype(np.float32) * 8.0
         lab = rng.integers(0, 64, size=1_000_000)
         x = means[lab] + rng.standard_normal(

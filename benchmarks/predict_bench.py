@@ -46,7 +46,7 @@ def main():
         jax.random.PRNGKey(1), points, valid, GAUSSIAN.default_prior(d))
     off = np.zeros(10, bool)
     grow = int(os.environ.get("GROW", "60"))
-    for _ in range(grow // 10):
+    for _ in range(max(1, grow // 10)):
         state, metrics = engine.step_block(
             state, points, valid, n_total, off, off)
     k_now = int(jax.device_get(metrics["k"])[-1])

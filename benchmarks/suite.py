@@ -76,7 +76,9 @@ def main(which):
         )
 
     if "seg" in which:
-        sys.path.insert(0, "examples")
+        sys.path.insert(0, os.path.join(
+            os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+            "examples"))
         from image_segmentation import synthetic_image
 
         feats, gt = synthetic_image(h=871, w=512)  # ~446k pixels

@@ -179,6 +179,56 @@ def _effective_chunk(cfg: DPMMConfig, n: int, n_dev: int) -> int:
     )
 
 
+_ROW_PROGRAM_CACHE: dict = {}
+
+
+def _run_sharded_rows(key, build, chunk, row_arrays, rep_args, n_out):
+    """Shared machinery for row-parallel model evaluations (predict,
+    cluster_statistics): pad + shard the row arrays over THIS process's
+    devices, run a cached jitted shard_map of ``build(chunk)`` (a fresh
+    jit per call would retrace/recompile every invocation), return device
+    outputs.
+
+    ``row_arrays``: host arrays sharded over rows (first dim N, padded
+    with zeros / -1 for ints).  ``rep_args``: replicated device operands.
+    The mesh uses ``jax.local_devices()`` -- in multi-process programs
+    each process evaluates its own rows (row-parallel; the global mesh's
+    non-addressable devices cannot be fed from local host arrays).
+    """
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from .parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh
+
+    mesh = make_data_mesh(devices=jax.local_devices())
+    n = len(row_arrays[0])
+    n_dev = int(np.prod(mesh.devices.shape))
+    chunk = max(128, min(chunk, _round_up(-(-n // n_dev), 128)))
+    n_pad = _round_up(n, n_dev * chunk)
+    padded = []
+    for a in row_arrays:
+        fill = -1 if np.issubdtype(a.dtype, np.integer) else 0
+        ap = np.full((n_pad,) + a.shape[1:], fill, a.dtype)
+        ap[:n] = a
+        padded.append(jax.device_put(ap, data_sharding(mesh)))
+
+    cache_key = key + (chunk, n_pad, n_dev,
+                       tuple(d.id for d in mesh.devices.flat))
+    fn = _ROW_PROGRAM_CACHE.get(cache_key)
+    if fn is None:
+        row_spec = (P(DATA_AXIS),) * len(row_arrays)
+        fn = jax.jit(shard_map(
+            build(chunk), mesh=mesh,
+            in_specs=row_spec + (P(),) * len(rep_args),
+            out_specs=(P(DATA_AXIS),) * n_out if n_out > 1 else P(),
+            check_vma=False,
+        ))
+        if len(_ROW_PROGRAM_CACHE) > 32:
+            _ROW_PROGRAM_CACHE.clear()
+        _ROW_PROGRAM_CACHE[cache_key] = fn
+    return fn(*padded, *rep_args)
+
+
 @dataclasses.dataclass
 class DPMMModel:
     """A fitted (or checkpointed) model: everything needed for prediction,
@@ -268,64 +318,52 @@ class DPMMModel:
         transfer -- the right call at 10M-point scale).
 
         Unlike the reference's master-only ``predict_points``
-        (src/local_clusters_actions.jl:23-40), rows are SHARDED over the
-        device mesh and evaluated in ``chunk``-row tiles per device, so
-        the [N, K] matrix never materializes beyond one tile per device
-        and predict scales with the same mesh as fit.
+        (src/local_clusters_actions.jl:23-40), rows are SHARDED over this
+        process's device mesh and evaluated in ``chunk``-row tiles per
+        device, so the [N, K] matrix never materializes beyond one tile
+        per device.  In multi-process programs each process predicts its
+        own rows on its own devices (the work is row-parallel; no
+        collective needed).
         """
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from .parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh
-
         x = (np.asarray(x, np.float32) - self.shift) * self._scale
-        n = len(x)
         slots = self.active_slots
         post = jax.tree.map(
             lambda a: np.asarray(a)[slots, 0], self.table["post"]
         )
         w = self.counts + self.cfg.alpha
         log_w = np.log(w / w.sum()).astype(np.float32)
-
-        mesh = make_data_mesh()
-        n_dev = int(np.prod(mesh.devices.shape))
-        chunk = max(128, min(chunk, _round_up(-(-n // n_dev), 128)))
-        n_pad = _round_up(n, n_dev * chunk)
-        xp = np.zeros((n_pad, x.shape[1]), np.float32)
-        xp[:n] = x
-        xdev = jax.device_put(xp, data_sharding(mesh))
         family, ret_probs = self.family, bool(return_probs)
 
-        def _pred(xs, post, log_w):
-            def body(_, xc):
-                logits = family.posterior_predictive(xc, post) + log_w
-                lab = jnp.argmax(logits, axis=-1).astype(jnp.int32)
-                if ret_probs:
-                    z = jnp.exp(
-                        logits - logits.max(axis=-1, keepdims=True)
-                    )
-                    pr = (z / z.sum(axis=-1, keepdims=True)).astype(
-                        jnp.float32
-                    )
-                else:
-                    pr = jnp.zeros((xc.shape[0], 0), jnp.float32)
-                return None, (lab, pr)
+        def build(chunk):
+            def _pred(xs, post, log_w):
+                def body(_, xc):
+                    logits = family.posterior_predictive(xc, post) + log_w
+                    lab = jnp.argmax(logits, axis=-1).astype(jnp.int32)
+                    if ret_probs:
+                        z = jnp.exp(
+                            logits - logits.max(axis=-1, keepdims=True)
+                        )
+                        pr = (z / z.sum(axis=-1, keepdims=True)).astype(
+                            jnp.float32
+                        )
+                    else:
+                        pr = jnp.zeros((xc.shape[0], 0), jnp.float32)
+                    return None, (lab, pr)
 
-            _, (lab, pr) = jax.lax.scan(
-                body, None, xs.reshape((-1, chunk) + xs.shape[1:])
-            )
-            return lab.reshape(-1), pr.reshape(xs.shape[0], pr.shape[-1])
+                _, (lab, pr) = jax.lax.scan(
+                    body, None, xs.reshape((-1, chunk) + xs.shape[1:])
+                )
+                return (lab.reshape(-1),
+                        pr.reshape(xs.shape[0], pr.shape[-1]))
 
-        fn = jax.jit(shard_map(
-            _pred, mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(), P()),
-            out_specs=(P(DATA_AXIS), P(DATA_AXIS)),
-            check_vma=False,
-        ))
-        lab_dev, pr_dev = fn(
-            xdev,
-            jax.tree.map(jnp.asarray, post),
-            jnp.asarray(log_w),
+            return _pred
+
+        n = len(x)
+        lab_dev, pr_dev = _run_sharded_rows(
+            ("predict", family.name, len(slots), x.shape[1], ret_probs),
+            build, chunk, (x,),
+            (jax.tree.map(jnp.asarray, post), jnp.asarray(log_w)),
+            n_out=2,
         )
         labels = np.asarray(jax.device_get(lab_dev))[:n]
         probs = (
@@ -356,61 +394,48 @@ class DPMMModel:
         Log-likelihoods are reported in the original data space (the
         standardized-space values shift by the constant sum(log scale)).
 
-        Rows are sharded over the device mesh and reduced in chunked
-        tiles (like :meth:`predict`): the [N, K] matrix never
+        Rows are sharded over this process's device mesh and reduced in
+        chunked tiles (like :meth:`predict`): the [N, K] matrix never
         materializes, so this works at 10M-point scale."""
-        from jax import shard_map
-        from jax.sharding import PartitionSpec as P
-
-        from .parallel.mesh import DATA_AXIS, data_sharding, make_data_mesh
+        from .parallel.mesh import DATA_AXIS
 
         x = (np.asarray(x, np.float32) - self.shift) * self._scale
-        n = len(x)
         slots = self.active_slots
         k = len(slots)
         phi = np.asarray(self.table["params"]["phi"])[slots, 0]
-
-        mesh = make_data_mesh()
-        n_dev = int(np.prod(mesh.devices.shape))
-        chunk = max(128, min(chunk, _round_up(-(-n // n_dev), 128)))
-        n_pad = _round_up(n, n_dev * chunk)
-        xp = np.zeros((n_pad, x.shape[1]), np.float32)
-        xp[:n] = x
-        labp = np.full((n_pad,), -1, np.int32)
-        labp[:n] = np.asarray(labels, np.int32)
-        xdev = jax.device_put(xp, data_sharding(mesh))
-        ldev = jax.device_put(labp, data_sharding(mesh))
         family = self.family
 
-        def _stats(xs, ls, ph):
-            def body(acc, inp):
-                xc, lc = inp
-                ll = family.features(xc) @ ph.T          # [C, K]
-                z = jnp.exp(ll - ll.max(axis=-1, keepdims=True))
-                resp = z / z.sum(axis=-1, keepdims=True)
-                oh = jax.nn.one_hot(lc, k, dtype=jnp.float32)  # -1 -> 0s
-                return (
-                    acc[0] + jnp.sum(oh * ll, axis=0),
-                    acc[1] + jnp.sum(oh * resp, axis=0),
-                    acc[2] + jnp.sum(oh, axis=0),
-                ), None
+        def build(chunk):
+            def _stats(xs, ls, ph):
+                def body(acc, inp):
+                    xc, lc = inp
+                    ll = family.features(xc) @ ph.T          # [C, K]
+                    z = jnp.exp(ll - ll.max(axis=-1, keepdims=True))
+                    resp = z / z.sum(axis=-1, keepdims=True)
+                    oh = jax.nn.one_hot(lc, k, dtype=jnp.float32)  # -1 -> 0
+                    return (
+                        acc[0] + jnp.sum(oh * ll, axis=0),
+                        acc[1] + jnp.sum(oh * resp, axis=0),
+                        acc[2] + jnp.sum(oh, axis=0),
+                    ), None
 
-            acc0 = (jnp.zeros((k,)), jnp.zeros((k,)), jnp.zeros((k,)))
-            (s_ll, s_resp, cnt), _ = jax.lax.scan(
-                body, acc0,
-                (xs.reshape((-1, chunk) + xs.shape[1:]),
-                 ls.reshape(-1, chunk)),
-            )
-            return jax.lax.psum(
-                jnp.stack([s_ll, s_resp, cnt]), DATA_AXIS
-            )
+                acc0 = (jnp.zeros((k,)), jnp.zeros((k,)), jnp.zeros((k,)))
+                (s_ll, s_resp, cnt), _ = jax.lax.scan(
+                    body, acc0,
+                    (xs.reshape((-1, chunk) + xs.shape[1:]),
+                     ls.reshape(-1, chunk)),
+                )
+                return jax.lax.psum(
+                    jnp.stack([s_ll, s_resp, cnt]), DATA_AXIS
+                )
 
-        out = jax.jit(shard_map(
-            _stats, mesh=mesh,
-            in_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
-            out_specs=P(),
-            check_vma=False,
-        ))(xdev, ldev, jnp.asarray(phi))
+            return _stats
+
+        out = _run_sharded_rows(
+            ("cluster_statistics", family.name, k, x.shape[1]),
+            build, chunk, (x, np.asarray(labels, np.int32)),
+            (jnp.asarray(phi),), n_out=1,
+        )
         s_ll, s_resp, cnt = np.asarray(jax.device_get(out), np.float64)
         cnt = np.maximum(cnt, 1.0)
         # density change of variables back to data space: p_data = p' * |s|

@@ -121,12 +121,14 @@ def selector_constants(d: int, f_pad: int):
     for the matmul form).  Selector entries are 0/1 (exact in bf16);
     exactness of the gather comes from plane-splitting x, not the
     selector.  The kernel contracts a single [T, 3D] array of bf16 planes
-    [hi | mid | lo] of x, so the selectors are stacked per plane: the A
-    operand is [A; A; A] (all 3 planes reassemble x exactly in the f32
-    accumulator) and the B operand is [B; B; 0] (hi + mid only, >= 16-bit
-    -- the same budget as the split2 statistics contraction); one packed
-    contraction keeps the MXU's 128-deep K dimension well fed, unlike D=32
-    per-plane dots (25% utilization, measured 3x slower).
+    [hi | mid | lo] of x, so the selectors are stacked per plane as
+    [A; A; A] and [B; B; B]: all 3 planes reassemble x EXACTLY in the f32
+    accumulator (3 x 8 mantissa bits >= f32's 24), so both affine factors
+    are the exact f32 values and feat = fa * fb is the correctly-rounded
+    f32 product -- bit-identical to the legacy ragged build.  The third
+    plane is free: the packed contraction shape is [T, 3D] @ [3D, F]
+    either way, and it keeps the MXU's 128-deep K dimension well fed,
+    unlike D=32 per-plane dots (25% utilization, measured 3x slower).
 
     Returns one stacked [6D + 2, f_pad] f32 array with rows
     [A3 (3D) | a (1) | B3 (3D) | b (1)]; padding columns are all-zero, so
@@ -150,16 +152,16 @@ def selector_constants(d: int, f_pad: int):
             B[j, col] = 1.0
             col += 1
     assert col == s
-    zero = _np.zeros_like(B)
     return _np.concatenate(
-        [A, A, A, a, B, B, zero, b], axis=0
+        [A, A, A, a, B, B, B, b], axis=0
     )  # [6D + 2, f_pad]
 
 
 def _selector_feature_tile(x, ab_ref):
     """Matmul feature build: feat = (x @ A + a) * (x @ B + b) with x
-    plane-split into [hi | mid | lo] bf16 (see selector_constants: the A
-    gather reassembles x exactly; the B gather to >= 16 bits)."""
+    plane-split into [hi | mid | lo] bf16 (see selector_constants: both
+    gathers reassemble x exactly, so the built rows equal the legacy f32
+    build bit-for-bit and every stats_precision keeps its full meaning)."""
     d = x.shape[1]
     ab = ab_ref[:]                       # [6D + 2, F]
     A3 = ab[: 3 * d].astype(jnp.bfloat16)

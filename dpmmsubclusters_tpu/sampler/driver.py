@@ -444,8 +444,15 @@ class DPMMEngine:
                     return rounded
                 return feat.astype(dt)
 
+            # hybrid: donate the raw points -- callers always replace them
+            # with the returned cache (`points = engine.featurize(points)`)
+            # and the donated buffer aliases the returned "raw" plane
+            # instead of duplicating ~GBs transiently on device.  Other
+            # modes' outputs can't alias (different shape), so donation
+            # would only warn.
             self._featurize = jax.jit(
                 build, out_shardings=data_sharding(self.mesh),
+                donate_argnums=(0,) if hybrid else (),
             )
         return self._featurize(points, jnp.int32(seed))
 
@@ -627,25 +634,33 @@ def run_loop(
             it += b
             fenced = False
             if gt is not None:
-                # block-boundary quality metrics (one labels fetch/block)
+                # block-boundary quality metrics (one labels fetch/block).
+                # The device_get IS the block fence: stamp the block time
+                # right after it, BEFORE the host-side NMI/VI math, so
+                # hist.times records sweep+transfer cost, not metric
+                # compute (the per-iteration path excludes it the same
+                # way).
                 from ..utils.metrics import nmi as nmi_fn, varinfo
 
                 labels_h = np.asarray(
                     jax.device_get(state.labels)
                 ).reshape(-1)[:n_valid]
+                now = time.perf_counter()
+                block_times.append((now - t_block, b))
+                fenced = True
                 hist.nmi.extend([nmi_fn(gt, labels_h)] * b)
                 hist.vi.extend([varinfo(gt, labels_h)] * b)
-                fenced = True
+                t_block = time.perf_counter()
             if migrator is not None and it < iters:
                 # one-scalar host sync per block; tier the next block
                 # (the smart sub-label pass runs INSIDE the block program)
                 k_now = int(np.asarray(jax.device_get(metrics["k"]))[-1])
                 state, engine = tier_step(state, engine, k_now)
+                if not fenced:
+                    now = time.perf_counter()
+                    block_times.append((now - t_block, b))
+                    t_block = now
                 fenced = True
-            if fenced:
-                now = time.perf_counter()
-                block_times.append((now - t_block, b))
-                t_block = now
         # hist.times in fused mode: when each block is already FENCED by a
         # host consumer (the tier probe or block NMI), per-block wall times
         # are real and recorded per block -- so medians over the tail
