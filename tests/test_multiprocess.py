@@ -29,6 +29,13 @@ x_local = x[proc::2]
 res = dpmm.fit_distributed(x_local, alpha=100.0, iters=80, seed=6, burnout=5)
 assert res.k == 4, res.k
 assert dpmm.nmi(gt[proc::2], res.labels) > 0.999
+# sharded predict + cluster_statistics must work per-process in
+# multi-process programs (they mesh over jax.local_devices(); a global
+# mesh here would crash on non-addressable devices)
+lab_pred, _ = res.model.predict(x_local, return_probs=False)
+assert dpmm.nmi(res.labels, lab_pred) > 0.999
+avg_ll, avg_prob = res.model.cluster_statistics(x_local, res.labels)
+assert len(avg_ll) == res.k
 print(f"proc {proc}: OK K={res.k}")
 """
 
