@@ -181,3 +181,21 @@ def test_params_file_schema_validated(tmp_path):
     nodata.write_text(json.dumps({"alpha": 10.0}))
     with pytest.raises(ValueError, match="data_path"):
         fit_from_params(str(nodata))
+
+
+def test_transposed_layout_and_unknown_fit_kwarg():
+    """transposed=True accepts the reference's D x N layout; a misspelled
+    fit kwarg fails fast as a TypeError from DPMMConfig, not deep in jit."""
+    import dpmmsubclusters_tpu as dpmm
+
+    rng = np.random.default_rng(0)
+    x = np.concatenate([
+        rng.normal(-6, 1, (300, 2)), rng.normal(6, 1, (300, 2))
+    ]).astype(np.float32)
+    r = dpmm.fit(x.T, alpha=10.0, iters=30, seed=0, verbose=False,
+                 k_max=8, burnout=3, transposed=True)
+    assert len(r.labels) == 600
+    assert r.k == 2
+
+    with pytest.raises(TypeError):
+        dpmm.fit(x, alpha=10.0, itres=30)  # typo'd kwarg
