@@ -199,3 +199,18 @@ def test_transposed_layout_and_unknown_fit_kwarg():
 
     with pytest.raises(TypeError):
         dpmm.fit(x, alpha=10.0, itres=30)  # typo'd kwarg
+
+
+def test_resume_wrong_size_data_rejected(tmp_path):
+    """Resuming with a dataset of the wrong size fails fast with a named
+    error (the checkpoint's label stream refers to specific rows)."""
+    import dpmmsubclusters_tpu as dpmm
+
+    rng = np.random.default_rng(1)
+    x = rng.normal(0, 1, (500, 2)).astype(np.float32)
+    r = dpmm.fit(x, alpha=10.0, iters=10, seed=0, verbose=False, k_max=4,
+                 burnout=3)
+    path = str(tmp_path / "ck.npz")
+    r.model.save(path)
+    with pytest.raises(ValueError, match="trained on 500 points"):
+        dpmm.run_from_checkpoint(path, x[:400], iters=12, verbose=False)
