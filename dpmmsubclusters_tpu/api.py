@@ -65,15 +65,29 @@ def _tier_setup(fam, cfg: DPMMConfig, mesh, k_start: Optional[int] = None):
 
     if not cfg.resolved_auto_tier():
         return _get_engine(fam, cfg, mesh), None, None
-    tiers = tier_sequence(cfg.k_max)
+    # a max_clusters cap bounds the useful capacity: splits are suppressed
+    # at the cap, so any tier beyond the smallest one covering it is pure
+    # table-width waste (measured: capacity 128 costs +2.5 ms/sweep over
+    # 64 at the 1M x 32-d flagship -- one extra MXU column tile,
+    # benchmarks/results/capacity_curve_r5.json)
+    ceiling = cfg.k_max
+    if cfg.max_clusters is not None:
+        need = int(cfg.max_clusters) + (1 if cfg.outlier_mod > 0 else 0)
+        fits = [t for t in tier_sequence(cfg.k_max) if t >= need]
+        if fits:
+            ceiling = min(ceiling, fits[0])
+    tiers = tier_sequence(ceiling)
     if k_start is None:
         init_active = cfg.init_clusters + (1 if cfg.outlier_mod > 0 else 0)
-        k_start = desired_tier(init_active, tiers[0], tiers)
+        k_start = min(desired_tier(init_active, tiers[0], tiers), ceiling)
+    # an explicit k_start (checkpointed table width) must NOT be clamped:
+    # the starting engine has to match the loaded table; the tier loop
+    # migrates it toward the ceiling on the first block boundary
     engine = _get_engine(fam, cfg.replace(k_max=int(k_start)), mesh)
     return (
         engine,
         lambda k: _get_engine(fam, cfg.replace(k_max=int(k)), mesh),
-        cfg.k_max,
+        ceiling,
     )
 
 # Engines are cached per (family, config, mesh): each DPMMEngine owns fresh

@@ -160,3 +160,19 @@ def test_checkpoint_roundtrip_across_tiers(tmp_path):
                                     auto_tier=False, verbose=False)
     assert res2.k >= 1
     assert np.asarray(res2.model.table["active"]).shape[0] == 32
+
+
+def test_max_clusters_caps_tier_ceiling():
+    """With max_clusters set, the tier ceiling shrinks to the smallest
+    tier covering the cap: capacity above it is pure table-width waste
+    (splits are suppressed at the cap anyway; measured +2.5 ms/sweep per
+    extra MXU column tile at the flagship)."""
+    import dpmmsubclusters_tpu as dpmm
+
+    rng = np.random.default_rng(2)
+    x, gt, _, _ = dpmm.generate_gaussian_data(4_000, 2, 8, 80.0, seed=1)
+    res = dpmm.fit(x, alpha=10.0, iters=40, seed=1, verbose=False,
+                   burnout=3, k_max=64, max_clusters=14, auto_tier=True)
+    # the table never grew past the 16-slot tier (smallest >= 14)
+    assert np.asarray(res.model.table["active"]).shape[0] <= 16
+    assert res.k <= 14
