@@ -104,3 +104,47 @@ def predict(model: api.DPMMModel, data):
     src/dp-parallel-sampling.jl:532)."""
     labels, probs = model.predict(np.asarray(data).T)
     return labels + 1, probs
+
+
+def calculate_posterior(model_or_result) -> float:
+    """Reference ``calculate_posterior`` (src/dp-parallel-sampling.jl:458):
+    the DP-CRP + marginal-likelihood log posterior of a fitted model."""
+    m = getattr(model_or_result, "model", model_or_result)
+    return m.log_posterior()
+
+
+def save_model(model_or_result, path: str) -> None:
+    """Reference ``save_model`` (src/dp-parallel-sampling.jl:450): write a
+    resumable checkpoint (points are NOT stored, exactly like the
+    reference's pts_less_group)."""
+    m = getattr(model_or_result, "model", model_or_result)
+    m.save(path)
+
+
+def run_model_from_checkpoint(path: str, data, *, iterations=None, **kw):
+    """Reference ``run_model_from_checkpoint``
+    (src/dp-parallel-sampling.jl:428): resume from a checkpoint.  ``data``
+    is D x N (reference layout); returns the same triple as :func:`fit`."""
+    result = api.run_from_checkpoint(
+        path, np.asarray(data).T, iters=iterations, **kw
+    )
+    return result.labels + 1, result.model.cluster_params(), result.weights
+
+
+def dp_parallel(model_params: str):
+    """Reference advanced mode ``dp_parallel(model_params::String)``
+    (src/dp-parallel-sampling.jl:317): run a fit from a params file
+    (declarative JSON here instead of executable Julia globals; see
+    dpmmsubclusters_tpu.run for the schema)."""
+    from .run import fit_from_params
+
+    result = fit_from_params(model_params)
+    return result.labels + 1, result.model.cluster_params(), result.weights
+
+
+def get_labels_histogram(labels):
+    """Reference ``get_labels_histogram`` (src/utils.jl:39-48) on 1-based
+    labels: sorted (label, count) pairs."""
+    from .utils.metrics import get_labels_histogram as _hist
+
+    return sorted(_hist(np.asarray(labels)).items())

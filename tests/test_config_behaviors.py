@@ -161,3 +161,29 @@ def test_reference_splittable_gate_flag_runs():
                  smart_splits=False)
     assert r.k == 4
     assert dpmm.nmi(gt, r.labels) > 0.999
+
+
+def test_compat_reference_named_surface(tmp_path):
+    """The compat shim exposes the reference's export names verbatim
+    (src/DPMMSubClusters.jl:36): fit, predict, calculate_posterior,
+    save_model, run_model_from_checkpoint, get_labels_histogram -- all on
+    D x N data with 1-based labels."""
+    from dpmmsubclusters_tpu import compat as DPMMPython
+
+    x_dn, labels1, _, _ = DPMMPython.generate_gaussian_data(
+        1200, 2, 3, 100.0, seed=2
+    )
+    res = DPMMPython.fit_full(x_dn, 10.0, iterations=40, verbose=False,
+                              seed=1, burnout=5)
+    lp = DPMMPython.calculate_posterior(res)
+    assert np.isfinite(lp)
+    hist = DPMMPython.get_labels_histogram(res.labels + 1)
+    assert sum(c for _, c in hist) == 1200
+    path = str(tmp_path / "ck.npz")
+    DPMMPython.save_model(res, path)
+    lab, clusters, w = DPMMPython.run_model_from_checkpoint(
+        path, x_dn, iterations=44, verbose=False
+    )
+    assert lab.min() >= 1 and len(clusters) == len(w)
+    lab2, _ = DPMMPython.predict(res.model, x_dn)
+    assert lab2.min() >= 1
